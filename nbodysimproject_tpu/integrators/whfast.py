@@ -1,0 +1,158 @@
+"""Wisdom–Holman (WHFast) integrator in Jacobi coordinates.
+
+Parity: ``minbody/whfast_scheme.py`` — ``_wh_kepler_drift`` (:22),
+``_wh_interaction_accel`` (:39), ``_wisdom_holman`` (:71) — and the
+Jacobi transforms ``NBodySimulation.to_jacobi``/``from_jacobi``
+(simulation.py:487-534).
+
+TPU-first: ``to_jacobi`` is closed-form via exclusive prefix sums;
+``from_jacobi`` is a short ``lax.scan`` over bodies (sequential by
+construction, N is small).  Per-planet Kepler propagation vmaps over
+the body axis (the reference loops bodies sequentially,
+whfast_scheme.py:29-33).  The interaction acceleration's double loops
+(:52-68) are vectorised into masked einsums.
+
+WHFast is only reachable with zero softening (simulation.py:119-120
+demotes to Verlet when manager.s > 0), so no mask-handling subtleties
+arise: the facade restricts whfast to unpadded systems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import SimState
+from ..ops.kepler import kepler_propagate
+
+
+def to_jacobi(m, pos, vel):
+    """Jacobi coordinates (simulation.py:487-507).
+
+    jac_0 = pos_0; jac_i = pos_i - COM(bodies < i).
+    """
+    # exclusive prefix sums of m, m*pos, m*vel
+    csum_m = jnp.cumsum(m)
+    M_prev = jnp.concatenate([m[:1], csum_m[:-1]])  # M_prev[i] = sum_{k<i} m_k for i>=1
+    R = jnp.cumsum(m[:, None] * pos, axis=0)
+    V = jnp.cumsum(m[:, None] * vel, axis=0)
+    R_prev = jnp.concatenate([ (m[:1, None] * pos[:1]), R[:-1]], axis=0)
+    V_prev = jnp.concatenate([ (m[:1, None] * vel[:1]), V[:-1]], axis=0)
+    cm_pos = R_prev / M_prev[:, None]
+    cm_vel = V_prev / M_prev[:, None]
+    jac_pos = pos - cm_pos
+    jac_vel = vel - cm_vel
+    jac_pos = jac_pos.at[0].set(pos[0])
+    jac_vel = jac_vel.at[0].set(vel[0])
+    return jac_pos, jac_vel
+
+
+def from_jacobi(m, jac_pos, jac_vel):
+    """Inverse transform (simulation.py:509-534) — inherently sequential
+    (body i needs the reconstructed COM of bodies < i), so a scan over
+    the body axis."""
+    d = jac_pos.shape[1]
+
+    def body(carry, x):
+        R, V, M = carry
+        jp, jv, mi = x
+        cm_pos = R / M
+        cm_vel = V / M
+        p = jp + cm_pos
+        v = jv + cm_vel
+        return (R + mi * p, V + mi * v, M + mi), (p, v)
+
+    init = (m[0] * jac_pos[0], m[0] * jac_vel[0], m[0])
+    (_, _, _), (pos_rest, vel_rest) = jax.lax.scan(
+        body, init, (jac_pos[1:], jac_vel[1:], m[1:])
+    )
+    pos = jnp.concatenate([jac_pos[:1], pos_rest], axis=0)
+    vel = jnp.concatenate([jac_vel[:1], vel_rest], axis=0)
+    return pos, vel
+
+
+def wh_kepler_drift(state: SimState, dyn, dt) -> SimState:
+    """Half drift: body 0 drifts linearly in Jacobi coordinates, bodies
+    i >= 1 propagate on Kepler orbits with mu = G (M_interior + m_i)
+    (whfast_scheme.py:22-37)."""
+    m = state.mass
+    cum = jnp.cumsum(m)
+    jac_pos, jac_vel = to_jacobi(m, state.pos, state.vel)
+
+    jp0 = jac_pos[0] + jac_vel[0] * dt
+
+    mu = dyn.G * cum  # mu_i = G * (cum[i-1] + m[i]) = G * cum[i]
+    kp = jax.vmap(lambda r, v, mu_i: kepler_propagate(r, v, mu_i, dt))
+    r_new, v_new = kp(jac_pos[1:], jac_vel[1:], mu[1:])
+
+    jac_pos = jnp.concatenate([jp0[None, :], r_new], axis=0)
+    jac_vel = jnp.concatenate([jac_vel[:1], v_new], axis=0)
+    pos, vel = from_jacobi(m, jac_pos, jac_vel)
+    return state.replace(pos=pos, vel=vel)
+
+
+def interaction_potential(pos, m, G, s2):
+    """Wisdom–Holman interaction Hamiltonian in Jacobi splitting:
+
+        V_int(q) = V_true(q) - V_kep(q)
+        V_true   = -G sum_{i<j} m_i m_j / sqrt(r_ij^2 + s2)
+        V_kep    = -G sum_{i>=1} m_i cum_{i-1} / sqrt(|jac_i|^2 + s2)
+
+    The Kepler drift integrates H_kep exactly with mu_i = G cum_i
+    (whfast_scheme.py:30), so kicking with -grad V_int closes the
+    splitting H = H_kep + H_int.
+
+    NOTE vs reference: the hand-rolled interaction acceleration there
+    (whfast_scheme.py:39-69) is not the gradient of any splitting of H
+    (its direct pair term enters with the repulsive sign), and is
+    discarded anyway: the kick at whfast_scheme.py:88 calls
+    ``sim._accel()`` which recomputes *full* direct gravity
+    (simulation.py:539 never reads the ``_acc_cached`` flag), so the
+    reference double-counts the central attraction and its planets
+    spiral outward.  We derive the kick by ``jax.grad`` of V_int —
+    correct by construction, and verified by long-run energy
+    conservation tests.
+    """
+    n = pos.shape[0]
+    diff = pos[:, None, :] - pos[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1) + s2
+    eye = jnp.eye(n, dtype=bool)
+    inv_r = jnp.where(~eye, 1.0 / jnp.sqrt(jnp.where(~eye, r2, 1.0)), 0.0)
+    mprod = m[:, None] * m[None, :]
+    V_true = -0.5 * G * jnp.sum(mprod * inv_r)
+
+    jac_pos, _ = to_jacobi(m, pos, pos)
+    cum = jnp.cumsum(m)
+    cm_prev = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]])
+    live = jnp.arange(n) >= 1
+    jr2 = jnp.sum(jac_pos * jac_pos, axis=1) + s2
+    # inner-safe select so reverse-mode AD never differentiates 1/0 on
+    # the masked i = 0 lane
+    jr = jnp.sqrt(jnp.where(live, jr2, 1.0))
+    V_kep = -G * jnp.sum(jnp.where(live, m * cm_prev / jr, 0.0))
+    return V_true - V_kep
+
+
+def wh_interaction_accel(state: SimState, dyn):
+    """a_k = -(1/m_k) dV_int/dq_k via reverse-mode autodiff."""
+    m = state.mass
+    grad = jax.grad(interaction_potential)(state.pos, m, dyn.G, state.step_s2)
+    return -grad / m[:, None]
+
+
+def whfast_substep(state: SimState, dyn, cfg, h) -> SimState:
+    """Kepler half-drift, interaction kick, Kepler half-drift
+    (whfast_scheme.py:71-93)."""
+    dt2 = 0.5 * h
+    state = wh_kepler_drift(state, dyn, dt2)
+    acc = wh_interaction_accel(state, dyn)
+    state = state.replace(vel=state.vel + h * acc)
+    state = wh_kepler_drift(state, dyn, dt2)
+    return state
+
+
+def whfast_corrector(state: SimState, dyn, cfg, h_ref) -> SimState:
+    """WHFast startup corrector: half-kick of the interaction
+    acceleration (whfast_scheme.py:95-123)."""
+    acc = wh_interaction_accel(state, dyn)
+    return state.replace(vel=state.vel + 0.5 * h_ref * acc)

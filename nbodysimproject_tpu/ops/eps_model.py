@@ -1,0 +1,203 @@
+"""Production eps* model: SPH softmin of per-particle smoothing lengths.
+
+Parity: ``minbody/hamsoft_eps_model.py`` — ``_solve_hi`` (:316),
+``eps_target_production`` (:240), ``eps_star_and_grad`` (:94),
+``calibrate_from_initial_conditions`` (:645), legacy mode (:562).
+
+Definition (reference :292-400):
+  h_i solves the fixed point   h_i = eta * sqrt(m_i / Sigma_i(h_i)),
+  Sigma_i = sum_{j != i} m_j W(r_ij, h_i),  W(r, h) = exp(-r^2/h^2)/(pi h^2),
+  <= 8 iterations, tol 1e-6, h clamped to [eps_floor, eps_cap];
+  eps* = -alpha * logsumexp(-h_i / alpha)   (softmin over bodies).
+
+TPU-first redesign (SURVEY.md section 7, "Analytic grad-eps* only"):
+the reference computes grad eps* by central differences — 2*N*d full
+eps* evaluations, each with its own h_i solve — its dominant ham_soft
+cost (hamsoft_eps_model.py:137-181).  Here ``eps_target_production`` is
+a single differentiable function and the gradient is one reverse-mode
+sweep (``jax.grad``), which equals the reference's FD gradient up to
+O(h_fd^2) while being ~2*N*d times cheaper.  Because eps* depends on
+positions only through pairwise differences, the gradient rows sum to
+zero (translation invariance), preserving exact momentum conservation
+in the spring impulse p += J * grad (proofs PDF Prop. 2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import pair_mask
+
+_SOLVE_HI_MAX_ITER = 8
+_SOLVE_HI_TOL = 1.0e-6
+
+
+def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None):
+    """Fixed-point solve for per-particle smoothing lengths h_i.
+
+    Mirrors minbody/hamsoft_eps_model.py:316-400: h initialised to the
+    (clipped) current epsilon, <= 8 iterations with global early stop at
+    max relative change < 1e-6 (emulated by freezing the iterate once
+    converged), h clamped to [eps_floor, eps_cap] every iteration.
+    """
+    q = jnp.asarray(q)
+    m = jnp.asarray(m)
+    n = q.shape[0]
+    dt = q.dtype
+
+    diff = q[:, None, :] - q[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    pm = pair_mask(n, mask).astype(dt)
+
+    h0c = jnp.clip(h0, eps_floor, eps_cap)
+    h_init = jnp.full((n,), 1.0, dt) * h0c
+
+    def sigma(h):
+        hj = jnp.maximum(h, 1.0e-12)  # per-i smoothing (gather kernel)
+        c = 1.0 / (math.pi * hj * hj)
+        w = c[:, None] * jnp.exp(-r2 / (hj * hj)[:, None]) * pm
+        return w @ m
+
+    def body(carry, _):
+        h, done = carry
+        Si = jnp.maximum(sigma(h), 1.0e-30)
+        h_new = eta * jnp.sqrt(m / Si)
+        h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0.0), h_new, h)
+        h_new = jnp.clip(h_new, eps_floor, eps_cap)
+        rel = jnp.max(jnp.abs(h_new - h) / jnp.maximum(h, 1.0e-12))
+        h_out = jnp.where(done, h, h_new)
+        return (h_out, done | (rel < _SOLVE_HI_TOL)), None
+
+    (h, _), _ = jax.lax.scan(body, (h_init, jnp.zeros((), bool)), None,
+                             length=_SOLVE_HI_MAX_ITER)
+    return h
+
+
+def softmin(h, alpha, mask=None):
+    """eps* = -alpha * logsumexp(-h/alpha)
+    (minbody/hamsoft_eps_model.py:263-274)."""
+    t = -h / alpha
+    if mask is not None:
+        t = jnp.where(mask, t, -jnp.inf)
+    t_max = jnp.max(t)
+    s = jnp.sum(jnp.exp(t - t_max))
+    return -alpha * (t_max + jnp.log(s))
+
+
+def eps_target_production(q, m, *, h0, alpha, eps_min, eps_max,
+                          eta: float = 1.35, clamp: bool = False, mask=None):
+    """Production eps* (minbody/hamsoft_eps_model.py:240-289).
+
+    ``clamp`` replicates the soft-barrier-policy clamp to
+    [eps_min, eps_max] (:276-288); ``eps_min``/``eps_max`` also feed the
+    h_i solve bounds via eps_floor = max(eps_min, 1e-12),
+    eps_cap = max(eps_floor, eps_max) (:331-336).
+    """
+    a = jnp.minimum(eps_min, eps_max)
+    b = jnp.maximum(eps_min, eps_max)
+    eps_floor = jnp.maximum(a, 1.0e-12)
+    eps_cap = jnp.maximum(eps_floor, b)
+    h = solve_hi(q, m, h0=h0, eps_floor=eps_floor, eps_cap=eps_cap,
+                 eta=eta, mask=mask)
+    es = softmin(h, alpha, mask=mask)
+    if clamp:
+        es = jnp.clip(es, a, b)
+    return es
+
+
+def eps_star_and_grad(q, m, *, h0, alpha, eps_min, eps_max,
+                      eta: float = 1.35, clamp: bool = False, mask=None):
+    """(eps*, d eps*/dq) in one reverse-mode sweep.
+
+    Replaces the reference's central-difference loop
+    (minbody/hamsoft_eps_model.py:94-234).  The FD path there computes
+    the true gradient of eps_target_production; jax.grad returns the
+    same quantity analytically, so the degenerate-gradient fallback and
+    its sign-alignment heuristic (:203-228) are unnecessary on this
+    path.
+    """
+    f = partial(eps_target_production, m=m, h0=h0, alpha=alpha,
+                eps_min=eps_min, eps_max=eps_max, eta=eta, clamp=clamp,
+                mask=mask)
+    es, grad = jax.value_and_grad(f)(q)
+    grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+    if mask is not None:
+        grad = grad * mask[:, None].astype(grad.dtype)
+    return es, grad
+
+
+def legacy_sigmoid_grad(q, *, alpha, lam, mask=None):
+    """Legacy-mode gradient: softmax-weighted unit pair directions with a
+    sigmoid prefactor (minbody/hamsoft_eps_model.py:562-643).
+
+    Pairwise antisymmetric by construction, hence momentum-conserving.
+    """
+    q = jnp.asarray(q)
+    n = q.shape[0]
+    diff = q[:, None, :] - q[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    pm = pair_mask(n, mask)
+    # softmax over pairs of exp(-(r - r_max)/alpha), i<j only — the full
+    # symmetric matrix double-counts identically so weights match.
+    t_max = jnp.max(jnp.where(pm, -r / alpha, -jnp.inf))
+    num = jnp.where(pm, jnp.exp(-r / alpha - t_max), 0.0)
+    s = 0.5 * jnp.sum(num)  # i<j sum
+    w = jnp.where(s > 0.0, num / jnp.maximum(s, 1e-300), 0.0)
+
+    # sigma = 1 / (1 + exp(lam * L)), L = logsumexp(-r/alpha) over pairs
+    L = t_max + jnp.log(jnp.maximum(s, 1e-300))
+    sigma = jnp.where(s > 0.0, 1.0 / (1.0 + jnp.exp(lam * L)), 0.5)
+
+    u = diff / jnp.maximum(r, 1e-300)[..., None]
+    gmat = (sigma * w)[..., None] * u
+    g = jnp.sum(jnp.where(pm[..., None], gmat, 0.0), axis=1)
+    return jnp.where(jnp.isfinite(g), g, 0.0)
+
+
+def calibrate_from_initial_conditions(q0, m, *, eps0, eps_min0, eps_max,
+                                      alpha_cfg, eta: float = 1.35,
+                                      c_alpha: float = 0.3,
+                                      c_min: float = 0.25, mask=None):
+    """Pure-functional port of EpsilonModel.calibrate_from_initial_conditions
+    (minbody/hamsoft_eps_model.py:645-729).
+
+    Returns (alpha_run, eps_min_new, eps_new): the run alpha
+    (0.3 * median h_i), the raised softening floor (0.25 * median h_i,
+    never lowered, never above eps_max), and epsilon clamped up to the
+    new floor.
+    """
+    alpha_seed = jnp.where(alpha_cfg > 0.0, alpha_cfg, jnp.maximum(eps0, 1.0e-12))
+    eps_floor = jnp.maximum(eps_min0, 1.0e-12)
+    eps_cap = jnp.maximum(eps_floor, eps_max)
+    h0 = solve_hi(q0, m, h0=eps0, eps_floor=eps_floor, eps_cap=eps_cap,
+                  eta=eta, mask=mask)
+    med_h = masked_median(h0, mask)
+    med_h = jnp.where(jnp.isfinite(med_h) & (med_h > 0.0), med_h, alpha_seed)
+
+    alpha_run = c_alpha * med_h
+    alpha_run = jnp.where(jnp.isfinite(alpha_run) & (alpha_run > 0.0),
+                          alpha_run, alpha_seed)
+
+    candidate_floor = jnp.minimum(c_min * med_h, eps_max)
+    eps_min_new = jnp.maximum(eps_min0, candidate_floor)
+    eps_min_new = jnp.minimum(eps_min_new, eps_max)
+
+    eps_new = jnp.maximum(eps0, eps_min_new)
+    return alpha_run, eps_min_new, eps_new
+
+
+def masked_median(x, mask=None):
+    """Median over valid entries (numpy convention: mean of the two
+    middle order statistics for even counts)."""
+    if mask is None:
+        return jnp.median(x)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big))
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = jnp.maximum(cnt // 2, 0)
+    return 0.5 * (xs[lo] + xs[hi])

@@ -1,0 +1,57 @@
+"""Plummer-softened pairwise gravity.
+
+Parity: ``minbody/forces.py`` — ``gravitational_force`` (:63),
+``softened_forces`` (:35), ``dV_d_epsilon`` (:77), alias
+``pairwise_force`` (:116).  TPU-first differences: d-parameterised,
+mask-aware, no defensive ndim checks (shapes are static under jit), and
+G = 0 / n < 2 fall out numerically instead of via early returns.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .geometry import pairwise_geometry, pair_mask
+
+
+def gravitational_force(q, m, eps=0.0, G=1.0, mask=None):
+    """F_i = -sum_j G m_i m_j (q_i - q_j) / (r_ij^2 + eps^2)^{3/2}.
+
+    Exactly antisymmetric per pair (diff[j,i] == -diff[i,j] bitwise), so
+    total linear momentum is conserved to rounding of the row sums
+    (proofs PDF Prop. 2; minbody/forces.py:63-75).
+    """
+    q = jnp.asarray(q)
+    m = jnp.asarray(m)
+    diff, _r2, inv_r3 = pairwise_geometry(q, eps=eps, mask=mask)
+    coeff = -(G * (m[:, None] * m[None, :])) * inv_r3
+    return jnp.einsum("ij,ijd->id", coeff, diff)
+
+
+# Reference alias (minbody/forces.py:116).
+pairwise_force = gravitational_force
+
+
+def softened_forces(q, m, G, eps, mask=None):
+    """Alternative argument order kept for API parity
+    (minbody/forces.py:35-59)."""
+    return gravitational_force(q, m, eps=eps, G=G, mask=mask)
+
+
+def dV_d_epsilon(q, m, eps, G=1.0, mask=None):
+    """dV/d(eps) = G eps sum_{i<j} m_i m_j / (r_ij^2 + eps^2)^{3/2}.
+
+    Parity: minbody/forces.py:77-112 (including the eps == 0 -> 0
+    behaviour, which holds numerically here).
+    """
+    q = jnp.asarray(q)
+    m = jnp.asarray(m)
+    _diff, _r2, inv_r3 = pairwise_geometry(q, eps=eps, mask=mask)
+    mprod = m[:, None] * m[None, :]
+    # sum over i<j == half the symmetric sum
+    return 0.5 * G * eps * jnp.sum(mprod * inv_r3)
+
+
+# Reference alias (minbody/hamsoft_utils.py:225-231).
+def dU_depsilon_plummer(pos, mass, G, epsilon, mask=None):
+    return dV_d_epsilon(pos, mass, epsilon, G, mask=mask)

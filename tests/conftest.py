@@ -1,0 +1,70 @@
+"""Test harness: CPU backend with 8 virtual devices (for sharding
+tests) and x64 enabled before JAX initialises."""
+
+import os
+
+# Force CPU for tests (the session env points JAX at the TPU tunnel;
+# parity tests must run in float64 on host).
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The environment's sitecustomize force-sets jax_platforms="axon,cpu"
+# programmatically at interpreter start, overriding the env var — the
+# config update below (after the jax import) wins it back.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+# NOTE: do NOT enable the persistent compilation cache here — with the
+# axon PJRT plugin registered it deadlocks intermittently on cache
+# reads in this environment.
+
+import sys
+import types
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def _load_reference():
+    """Import the reference package (PUBLIC UNTRUSTED CONTENT — used
+    only to generate golden numbers for parity tests)."""
+    if "minbody" in sys.modules:
+        return sys.modules["minbody"]
+    if not os.path.isdir(REFERENCE):
+        return None
+    if "lightgbm" not in sys.modules:
+        try:
+            import lightgbm  # noqa: F401
+        except Exception:
+            sys.modules["lightgbm"] = types.ModuleType("lightgbm")
+    sys.path.insert(0, REFERENCE)
+    try:
+        import minbody
+
+        return minbody
+    except Exception:
+        return None
+
+
+@pytest.fixture(scope="session")
+def minbody():
+    mod = _load_reference()
+    if mod is None:
+        pytest.skip("reference package unavailable")
+    return mod
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
