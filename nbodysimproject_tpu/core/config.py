@@ -71,6 +71,19 @@ class SimConfig:
 
     # --- TPU-build extensions ------------------------------------------
     dim: int = 2                         # reference hard-codes 2; we parameterise
+    # Gradient of eps*(q) used by the ham_soft spring impulse:
+    #  "exact"     — reverse-mode gradient of the actual (clamped)
+    #                eps_target_production.  The dynamics is then the
+    #                exact Hamiltonian flow of H_ext: momentum exact,
+    #                |dH_mod| = O(h^2) per the proofs PDF.  (default)
+    #  "reference" — bug-compatible: when the exact gradient degenerates
+    #                (clamp saturation in sparse systems) substitute the
+    #                Omega-corrected SPH gradient sign-aligned against
+    #                the legacy one (hamsoft_eps_model.py:203-228).
+    #                That vector is NOT the gradient of eps*, so H_ext
+    #                drifts secularly — reproduces reference
+    #                trajectories, not its claimed invariants.
+    eps_grad_mode: str = "exact"
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

@@ -12,9 +12,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import importlib
+
 from ..core.state import SimState
 from ..ops.geometry import pair_mask
-from . import energy as E
+
+# resolve the submodule explicitly (the package __init__ re-binds the
+# name ``energy`` to the function)
+E = importlib.import_module(__package__ + ".energy")
 
 
 def _masked_mean(x, m):

@@ -13,8 +13,13 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+import importlib
+
 from ..core.state import SimState
-from . import energy as E
+
+# The package __init__ re-binds the name ``energy`` to the function of
+# the same name, so resolve the submodule explicitly.
+E = importlib.import_module(__package__ + ".energy")
 
 
 def step_metrics(state: SimState, dyn, cfg, L0=None, megno_slope_median=None):

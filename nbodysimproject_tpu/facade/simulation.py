@@ -122,6 +122,9 @@ class NBodySimulation:
         if min_softening == 0.0 and softening > 0.0:
             min_softening = 0.1 * softening
         self._min_softening = float(min_softening)
+        # construction-time floor, before any ham_soft calibration raise
+        # — needed so snapshot/restore reproduces the calibration
+        self._min_softening_init = float(min_softening)
         self._softening_scale = float(self.cfg.softening_scale)
 
         # --- mode resolution (simulation.py:96-120) ----------------------
@@ -644,6 +647,7 @@ class NBodySimulation:
     def snapshot(self) -> dict:
         soft_state = {
             "s0": self._s0,
+            "min_softening_init": self._min_softening_init,
             "s": float(self._state.s),
             "s2": float(self._state.s) ** 2,
             "step_s2": float(self._state.step_s2),
@@ -674,6 +678,7 @@ class NBodySimulation:
             "_epsilon": self._epsilon,
             "_pi": self._pi,
             "_min_softening": self._min_softening,
+            "_max_softening": self._max_softening,
         }
         snap = {
             "masses": self._mass.copy(),
@@ -707,14 +712,18 @@ class NBodySimulation:
         soft_data = state.get("softening_mgr_state", state.get("softening_mgr", {}))
         sim_flags = state.get("sim_state", sim_data.get("flags", {}))
 
-        hist = soft_data.get("_history") or []
-        s0_snap = None
-        if hist and np.isfinite(hist[0]):
-            s0_snap = float(hist[0])
+        s0_snap = soft_data.get("s0")
         if s0_snap is None:
-            s0_snap = float(state.get("softening", soft_data.get("s", 1e-3)))
+            hist = soft_data.get("_history") or []
+            if hist and np.isfinite(hist[0]):
+                s0_snap = float(hist[0])
+            else:
+                s0_snap = float(state.get("softening", soft_data.get("s", 1e-3)))
 
-        min_snap = sim_flags.get("_min_softening", state.get("min_softening"))
+        # reconstruct with the *construction-time* floor so the ham_soft
+        # calibration cascade reproduces the original run exactly; the
+        # evolved bounds are overlaid below
+        min_snap = soft_data.get("min_softening_init")
         if min_snap is None:
             min_snap = 0.1 * s0_snap if s0_snap > 0 else 0.0
 
@@ -756,7 +765,17 @@ class NBodySimulation:
                 sim._dyn = sim._dyn.replace(k_soft=sim._as_dtype(ints["k_soft"]))
             if ints.get("mu_soft") is not None:
                 sim._dyn = sim._dyn.replace(mu_soft=sim._as_dtype(ints["mu_soft"]))
-        sim._max_softening = 10.0 * float(sim._s0)
+        # overlay evolved softening bounds (e.g. set_softening_bounds)
+        ms = sim_flags.get("_min_softening")
+        if ms is not None:
+            sim._min_softening = float(ms)
+            sim._dyn = sim._dyn.replace(min_softening=sim._as_dtype(ms))
+        mx = sim_flags.get("_max_softening")
+        if mx is not None:
+            sim._max_softening = float(mx)
+            sim._dyn = sim._dyn.replace(max_softening=sim._as_dtype(mx))
+        else:
+            sim._max_softening = 10.0 * float(sim._s0)
         sim._has_integrated = bool(state.get("has_integrated", False))
         return sim
 

@@ -87,7 +87,24 @@ def eps_star_and_grad(state: SimState, dyn, cfg, q=None):
     return epsmod.eps_star_and_grad(
         q, state.mass, h0=state.eps, alpha=dyn.alpha_run,
         eps_min=dyn.min_softening, eps_max=dyn.max_softening, eta=cfg.eta,
-        clamp=policy_is_soft(cfg), mask=state.mask)
+        clamp=policy_is_soft(cfg), mask=state.mask,
+        lam_align=cfg.lambda_softening,
+        use_fallback=(cfg.eps_grad_mode == "reference"))
+
+
+def grad_eps_target(state: SimState, dyn, cfg, q=None):
+    """HSI._grad_eps_target (HSI:665-745): always the Omega-corrected
+    SPH gradient, sign-aligned against the legacy gradient."""
+    q = state.pos if q is None else q
+    g = epsmod.production_grad_omega(
+        q, state.mass, h0=state.eps, alpha=dyn.alpha_run,
+        eps_min=dyn.min_softening, eps_max=dyn.max_softening, eta=cfg.eta,
+        mask=state.mask)
+    g_ref = legacy_soft.grad_eps_target(q, alpha=1.0,
+                                        lam=cfg.lambda_softening,
+                                        mask=state.mask)
+    dot = jnp.sum(g * g_ref)
+    return jnp.where(jnp.isfinite(dot) & (dot < 0.0), -g, g)
 
 
 def _bar_force(cfg, dyn, eps):
@@ -265,10 +282,11 @@ def canonical_eom(state: SimState, dyn, cfg):
                           mask=state.mask)
 
     eps_star = eps_target(state, dyn, cfg)
-    _es, grad = eps_star_and_grad(state, dyn, cfg)
-    # Reference _grad_eps_target sign-aligns the production gradient
-    # against the legacy one (HSI:706-719); our analytic gradient is the
-    # true one, the same object the FD path computes.
+    if cfg.eps_grad_mode == "reference":
+        # HSI:942 uses _grad_eps_target — the sign-aligned Omega gradient
+        grad = grad_eps_target(state, dyn, cfg)
+    else:
+        _es, grad = eps_star_and_grad(state, dyn, cfg)
     Delta = state.eps - eps_star
     pdot = F_grav + dyn.k_soft * Delta * grad
 

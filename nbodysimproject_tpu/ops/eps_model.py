@@ -109,24 +109,127 @@ def eps_target_production(q, m, *, h0, alpha, eps_min, eps_max,
     return es
 
 
-def eps_star_and_grad(q, m, *, h0, alpha, eps_min, eps_max,
-                      eta: float = 1.35, clamp: bool = False, mask=None):
-    """(eps*, d eps*/dq) in one reverse-mode sweep.
+def production_grad_omega(q, m, *, h0, alpha, eps_min, eps_max,
+                          eta: float = 1.35, mask=None):
+    """The reference's Omega-corrected SPH gradient
+    (hamsoft_eps_model.py:451-556), vectorised.
 
-    Replaces the reference's central-difference loop
-    (minbody/hamsoft_eps_model.py:94-234).  The FD path there computes
-    the true gradient of eps_target_production; jax.grad returns the
-    same quantity analytically, so the degenerate-gradient fallback and
-    its sign-alignment heuristic (:203-228) are unnecessary on this
-    path.
+    Built from the *unclamped* SPH derivative chain:
+      omega_i = softmax(-h_i/alpha)
+      Sigma_i = sum_j m_j W(r_ij, h_i),  Sd_i = sum_j m_j dW/dh
+      Omega_i = 1 + h_i Sd_i / (2 Sigma_i)
+      P_i     = -h_i / (2 Sigma_i Omega_i)
+      g gets the pairwise-antisymmetric accumulation of
+      s_i m_j gradW(r_ij, h_i) with s_i = -omega_i P_i.
+
+    This is NOT the gradient of eps_target_production when the h_i
+    clamp saturates (common in sparse few-body systems) — it is what
+    the reference substitutes when its FD gradient degenerates, and is
+    therefore load-bearing for trajectory parity.
+    """
+    q = jnp.asarray(q)
+    m = jnp.asarray(m)
+    n = q.shape[0]
+    dt = q.dtype
+
+    a = jnp.minimum(eps_min, eps_max)
+    b = jnp.maximum(eps_min, eps_max)
+    eps_floor = jnp.maximum(a, 1.0e-12)
+    eps_cap = jnp.maximum(eps_floor, b)
+    h = solve_hi(q, m, h0=h0, eps_floor=eps_floor, eps_cap=eps_cap,
+                 eta=eta, mask=mask)
+    h_clamp_min = jnp.maximum(1.0e-12, 0.1 * jnp.maximum(eps_min, 1e-12))
+    hj = jnp.maximum(h, h_clamp_min)
+
+    t = -h / alpha
+    if mask is not None:
+        t = jnp.where(mask, t, -jnp.inf)
+    t_max = jnp.max(t)
+    et = jnp.exp(t - t_max)
+    denom = jnp.sum(et)
+    omega = et / jnp.maximum(denom, 1e-300)
+
+    diff = q[:, None, :] - q[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    pm = pair_mask(n, mask).astype(dt)
+    c = 1.0 / (math.pi * hj * hj)
+    W = c[:, None] * jnp.exp(-r2 / (hj * hj)[:, None]) * pm
+    dWh = W * (-2.0 / hj[:, None] + 2.0 * r2 / (hj ** 3)[:, None])
+    Sigma = jnp.maximum(W @ m, 1e-30)
+    Sd = dWh @ m
+
+    Omega = 1.0 + hj * Sd / (2.0 * Sigma)
+    Omega = jnp.where(jnp.isfinite(Omega) & (Omega != 0.0), Omega, 1.0)
+    P = -hj / (2.0 * Sigma * Omega)
+    s = -omega * P
+
+    # A[i, j] = s_i m_j (-2 W_ij / h_i^2) diff_ij ;   g = rowsum - colsum
+    coef = (-2.0 * W / (hj * hj)[:, None]) * (s[:, None] * m[None, :])
+    A = coef[..., None] * diff
+    g = jnp.sum(A, axis=1) - jnp.sum(A, axis=0)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    if mask is not None:
+        g = g * mask[:, None].astype(dt)
+    return g
+
+
+def _row_norm_max(g, mask=None):
+    r = jnp.sqrt(jnp.sum(g * g, axis=1))
+    if mask is not None:
+        r = jnp.where(mask, r, 0.0)
+    return jnp.max(r)
+
+
+def eps_star_and_grad(q, m, *, h0, alpha, eps_min, eps_max,
+                      eta: float = 1.35, clamp: bool = False, mask=None,
+                      lam_align: float = 0.3, use_fallback: bool = True):
+    """(eps*, d eps*/dq) with the reference's fallback semantics.
+
+    The reference computes the gradient by central differences — the
+    true (clamp-aware) gradient of eps_target_production — and, when
+    that degenerates (max row norm <= 1e-12, or <= 1e-9 * median pair
+    distance, hamsoft_eps_model.py:203-209), substitutes the
+    Omega-corrected SPH gradient sign-aligned against the legacy
+    gradient (:210-228).  Here the true gradient comes from one
+    reverse-mode sweep instead of 2*N*d eps* evaluations — the
+    reference's dominant ham_soft cost (SURVEY.md section 7) — and the
+    same fallback is applied under `jnp.where` so batched systems can
+    take either branch lane-wise.
     """
     f = partial(eps_target_production, m=m, h0=h0, alpha=alpha,
                 eps_min=eps_min, eps_max=eps_max, eta=eta, clamp=clamp,
                 mask=mask)
-    es, grad = jax.value_and_grad(f)(q)
-    grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+    es, grad_ad = jax.value_and_grad(f)(q)
+    grad_ad = jnp.where(jnp.isfinite(grad_ad), grad_ad, 0.0)
     if mask is not None:
-        grad = grad * mask[:, None].astype(grad.dtype)
+        grad_ad = grad_ad * mask[:, None].astype(grad_ad.dtype)
+
+    if not use_fallback:
+        return es, grad_ad
+
+    gmax = _row_norm_max(grad_ad, mask)
+    n = q.shape[0]
+    diff = q[:, None, :] - q[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    pm = pair_mask(n, mask)
+    iu = jnp.triu_indices(n, 1)
+    rv = jnp.sqrt(jnp.where(pm, r2, jnp.nan)[iu])
+    r_median = jnp.nanmedian(rv) if n >= 2 else jnp.zeros((), q.dtype)
+    r_median = jnp.where(jnp.isfinite(r_median), r_median, 0.0)
+
+    degenerate = (gmax <= 1.0e-12) | (gmax <= 1.0e-9 * r_median)
+
+    g_fb = production_grad_omega(q, m, h0=h0, alpha=alpha, eps_min=eps_min,
+                                 eps_max=eps_max, eta=eta, mask=mask)
+    # sign alignment against the legacy gradient (its sign convention,
+    # see ops/softening.py) — hamsoft_eps_model.py:218-227
+    from .softening import grad_eps_target as _legacy_grad
+
+    g_ref = _legacy_grad(q, alpha=1.0, lam=lam_align, mask=mask)
+    dot = jnp.sum(g_fb * g_ref)
+    g_fb = jnp.where(jnp.isfinite(dot) & (dot < 0.0), -g_fb, g_fb)
+
+    grad = jnp.where(degenerate, g_fb, grad_ad)
     return es, grad
 
 
