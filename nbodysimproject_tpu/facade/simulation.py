@@ -499,21 +499,24 @@ class NBodySimulation:
     # stepping
     # ------------------------------------------------------------------
 
+    def _n_sub_for(self, dt: float) -> int:
+        """Substep count for a macro step of dt (integrator.py:91 for
+        classical, HSI:781-888 frozen schedule for ham_soft)."""
+        if self._integrator_mode == "ham_soft":
+            return self._hamsoft_schedule(dt)
+        h_sub = float(self._dyn.h_sub_ref)
+        if not (math.isfinite(h_sub) and h_sub > 0.0):
+            h_sub = abs(dt)
+        return int(max(1, min(self.cfg.split_n_max,
+                              math.ceil(abs(dt) / h_sub))))
+
     def step(self, dt: float) -> None:
         """simulation.py:667-676 -> integrator.step / HSI.step."""
         if dt == 0.0 or self._n_bodies == 0 or self._disabled:
             return
         dt = float(dt)
         self._top_dt = abs(dt)
-
-        if self._integrator_mode == "ham_soft":
-            n_sub = self._hamsoft_schedule(dt)
-        else:
-            h_sub = float(self._dyn.h_sub_ref)
-            if not (math.isfinite(h_sub) and h_sub > 0.0):
-                h_sub = abs(dt)
-            n_sub = int(max(1, min(self.cfg.split_n_max,
-                                   math.ceil(abs(dt) / h_sub))))
+        n_sub = self._n_sub_for(dt)
 
         self._state = _jit_macro_step(self._state, self._dyn, self.cfg,
                                       self._as_dtype(dt), n_sub)
@@ -528,14 +531,7 @@ class NBodySimulation:
             return
         dt = float(dt)
         self._top_dt = abs(dt)
-        if self._integrator_mode == "ham_soft":
-            n_sub = self._hamsoft_schedule(dt)
-        else:
-            h_sub = float(self._dyn.h_sub_ref)
-            if not (math.isfinite(h_sub) and h_sub > 0.0):
-                h_sub = abs(dt)
-            n_sub = int(max(1, min(self.cfg.split_n_max,
-                                   math.ceil(abs(dt) / h_sub))))
+        n_sub = self._n_sub_for(dt)
         self._state = _jit_integrate(self._state, self._dyn, self.cfg,
                                      self._as_dtype(dt), int(n_steps), n_sub)
         self._has_integrated = True

@@ -1,0 +1,160 @@
+"""ML dataset orchestration.
+
+Parity: ``minbody/ml_training_pipeline.py:30-235`` (MLTrainingPipeline):
+the four diverse cohorts with the reference's exact mixture (40% random
+— alternating log-mass, 30% hierarchical triples with velocity noise,
+20% rotating polygons, remainder close encounters), the focused
+boundary/stable/unstable datasets, and ``quick_test_pipeline``.
+
+The systems are generated host-side (cheap) and analysed by the
+batched TPU analyzer, replacing the reference's serial loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ic_generator import InitialConditionGenerator, GeneratorConfig
+from .specialized import SpecializedGenerators
+from ..facade.simulation import NBodySimulation
+from ..analysis.stability import StabilityAnalyzer
+from ..analysis.batch import BatchStabilityAnalyzer
+from ..utils.seeding import set_global_seed
+
+
+class MLTrainingPipeline:
+    def __init__(self, n_systems: int = 1000, n_steps: int = 1000,
+                 dt: float = 0.01):
+        self.n_systems = n_systems
+        self.n_steps = max(500, min(2000, n_steps))
+        self.dt = dt
+        self.ic_generator = InitialConditionGenerator()
+        self.batch_analyzer = BatchStabilityAnalyzer(
+            n_steps=self.n_steps, dt=self.dt, mode="full")
+
+    def generate_diverse_dataset(self):
+        print(f"Generating {self.n_systems} diverse N-body systems...")
+        simulations = []
+
+        n_random = int(0.4 * self.n_systems)
+        print(f"\n1. Generating {n_random} random systems...")
+        for i in range(n_random):
+            n_bodies = np.random.randint(3, 6)
+            config = GeneratorConfig(
+                mass_range=(0.1, 10.0),
+                use_log_mass=(i % 2 == 0),
+                position_scale=np.random.uniform(0.5, 2.0),
+                velocity_virial_fraction=np.random.uniform(0.8, 1.2),
+                velocity_perturbation=np.random.uniform(0.05, 0.2),
+                softening=np.random.uniform(0.001, 0.1),
+            )
+            simulations.append(
+                InitialConditionGenerator(config).create_simulation(n_bodies))
+
+        n_hier = int(0.3 * self.n_systems)
+        print(f"2. Generating {n_hier} hierarchical systems...")
+        for _ in range(n_hier):
+            masses, positions, velocities = (
+                SpecializedGenerators.generate_hierarchical_triple(
+                    np.random.uniform(0.1, 1.0), np.random.uniform(0.1, 2.0),
+                    np.random.uniform(3, 50)))
+            velocities = velocities + np.random.randn(*velocities.shape) * 0.05
+            simulations.append(NBodySimulation(
+                masses=masses, positions=positions, velocities=velocities,
+                G=1.0, softening=0.01))
+
+        n_poly = int(0.2 * self.n_systems)
+        print(f"3. Generating {n_poly} polygon configurations...")
+        for _ in range(n_poly):
+            masses, positions, velocities = (
+                SpecializedGenerators.generate_equal_mass_polygon(
+                    np.random.randint(3, 8), np.random.uniform(0.5, 3.0),
+                    np.random.uniform(0, 1.0)))
+            simulations.append(NBodySimulation(
+                masses=masses, positions=positions, velocities=velocities,
+                G=1.0, softening=0.05))
+
+        n_close = self.n_systems - n_random - n_hier - n_poly
+        print(f"4. Generating {n_close} close encounter systems...")
+        for _ in range(n_close):
+            config = GeneratorConfig(position_scale=0.1,
+                                     velocity_virial_fraction=1.5,
+                                     velocity_perturbation=0.3,
+                                     softening=0.001)
+            simulations.append(InitialConditionGenerator(config)
+                               .create_simulation(np.random.randint(3, 5)))
+
+        print(f"\nAnalyzing {len(simulations)} systems...")
+        results_df = self.batch_analyzer.analyze_batch(simulations,
+                                                       show_progress=True)
+        results_df["system_type"] = (
+            ["random"] * n_random + ["hierarchical"] * n_hier
+            + ["polygon"] * n_poly + ["close_encounter"] * n_close)
+        return results_df
+
+    def generate_focused_dataset(self, focus: str = "boundary"):
+        print(f"Generating {self.n_systems} systems focused on {focus} cases...")
+        simulations = []
+        if focus == "boundary":
+            for i in range(self.n_systems):
+                if i % 3 == 0:
+                    m, p, v = SpecializedGenerators.generate_hierarchical_triple(
+                        separation_ratio=np.random.uniform(5, 15))
+                    sim = NBodySimulation(masses=m, positions=p, velocities=v)
+                elif i % 3 == 1:
+                    config = GeneratorConfig(
+                        velocity_virial_fraction=1.0,
+                        velocity_perturbation=np.random.uniform(0.1, 0.3))
+                    sim = InitialConditionGenerator(config).create_simulation(
+                        np.random.randint(3, 5))
+                else:
+                    m, p, v = SpecializedGenerators.generate_equal_mass_polygon(
+                        np.random.randint(4, 7),
+                        rotation_fraction=np.random.uniform(0.3, 0.7))
+                    sim = NBodySimulation(masses=m, positions=p, velocities=v)
+                simulations.append(sim)
+        elif focus == "stable":
+            for _ in range(self.n_systems):
+                m, p, v = SpecializedGenerators.generate_hierarchical_triple(
+                    separation_ratio=np.random.uniform(20, 100))
+                v = v + np.random.randn(*v.shape) * 0.01
+                simulations.append(NBodySimulation(
+                    masses=m, positions=p, velocities=v, softening=0.01))
+        else:
+            for _ in range(self.n_systems):
+                config = GeneratorConfig(
+                    position_scale=0.1,
+                    velocity_virial_fraction=np.random.uniform(1.5, 2.0),
+                    velocity_perturbation=0.5,
+                    softening=0.001)
+                simulations.append(InitialConditionGenerator(config)
+                                   .create_simulation(np.random.randint(3, 6)))
+
+        results_df = self.batch_analyzer.analyze_batch(simulations)
+        results_df["dataset_focus"] = focus
+        return results_df
+
+    def quick_test_pipeline(self):
+        import pandas as pd
+
+        set_global_seed(42)
+        print("Running quick test with 10 systems...")
+        generator = InitialConditionGenerator()
+        test_sims = [generator.create_simulation(3 + (i % 3))
+                     for i in range(10)]
+
+        print("\nTesting unified analyzer in core mode...")
+        results = []
+        for i, sim in enumerate(test_sims):
+            analyzer = StabilityAnalyzer(sim, n_steps=100, dt=0.01, mode="core")
+            result = analyzer.run_stability_analysis()
+            result["system_id"] = i
+            results.append(result)
+            status = "STABLE" if result["is_stable"] else "UNSTABLE"
+            print(f"System {i}: {status} (E_drift={result['energy_drift']:.2e})")
+
+        test_df = pd.DataFrame(results)
+        n_stable = int(sum(test_df["is_stable"]))
+        print(f"\nTest complete. {n_stable} stable, "
+              f"{len(test_df) - n_stable} unstable")
+        return test_df
