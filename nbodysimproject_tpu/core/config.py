@@ -59,7 +59,10 @@ class SimConfig:
     j_max_cap: float = 0.02              # hamsoft_stepper.py:33-45
     chi_pi: float = 0.2                  # hamiltonian_softening_integrator.py:216-221
     fixed_eps_star: bool = False         # hamsoft_eps_model.py:82
-    eps_star_value: float = float("nan")  # hamsoft_eps_model.py:83
+    # None (not NaN!) when unset — the config is a jit-static argument
+    # and a NaN field would break its own equality, defeating the jit
+    # cache (every step would recompile)
+    eps_star_value: float | None = None  # hamsoft_eps_model.py:83
     use_legacy_eps_star: bool = False    # hamsoft_eps_model.py:87
     lambda_softening: float = 0.3        # hamsoft_constants.py:35 (env LAMBDA_SOFTENING)
     include_barrier_curvature_in_S: bool = False  # hamsoft_stepper.py:167

@@ -295,7 +295,8 @@ class NBodySimulation:
         chi_eps = 1.0
 
         # (a) eps-model calibration (hamsoft_eps_model.py:645-729)
-        if cfg.fixed_eps_star and math.isfinite(cfg.eps_star_value):
+        if cfg.fixed_eps_star and cfg.eps_star_value is not None \
+                and math.isfinite(cfg.eps_star_value):
             vf = float(cfg.eps_star_value)
             eps_new = vf
             min_soft = min(self._min_softening, vf) if self._min_softening > vf \

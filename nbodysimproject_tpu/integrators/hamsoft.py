@@ -66,7 +66,7 @@ def eps_target(state: SimState, dyn, cfg, q=None):
     q = state.pos if q is None else q
     if cfg.fixed_eps_star:
         v = cfg.eps_star_value
-        if v == v:  # not NaN
+        if v is not None and v == v:
             return jnp.asarray(v, q.dtype)
         return dyn.s0
     if cfg.use_legacy_eps_star:
