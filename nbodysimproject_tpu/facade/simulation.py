@@ -872,8 +872,15 @@ class _ManagerShim:
 class _IntegratorShim:
     """Attribute-level stand-in for the reference integrator object."""
 
-    def __init__(self, sim: NBodySimulation):
+    def __init__(self, sim: NBodySimulation, **_kw):
         self._sim = sim
+
+    @property
+    def sim(self):
+        return self._sim
+
+    def step(self, dt: float) -> None:
+        self._sim.step(dt)
 
     @property
     def k_soft(self) -> float:
@@ -937,3 +944,30 @@ class _IntegratorShim:
         from ..diagnostics.energy import extended_hamiltonian_of_sim
 
         return extended_hamiltonian_of_sim(self._sim)
+
+
+class Integrator(_IntegratorShim):
+    """Name-parity class (integrator.py:31): the integrator state lives
+    in the sim's DynParams; this view exposes the reference attribute
+    surface over it."""
+
+    def __init__(self, sim: NBodySimulation, *, split_n_max: int = 10000):
+        super().__init__(sim)
+
+
+class HamiltonianSofteningIntegrator(_IntegratorShim):
+    """Name-parity class (hamiltonian_softening_integrator.py:40)."""
+
+    def __init__(self, sim: NBodySimulation, *, split_n_max: int = 10000,
+                 force_adaptive_timestep: bool = False):
+        super().__init__(sim)
+
+
+class SofteningManager(_ManagerShim):
+    """Name-parity class (softening_manager.py:37); softening state is
+    carried in the SimState PyTree."""
+
+    def __init__(self, sim: NBodySimulation, softening: float | None = None,
+                 min_softening: float | None = None, history: int = 1024,
+                 tol: float = 1e-12):
+        super().__init__(sim)

@@ -1,0 +1,139 @@
+"""Functional flow-map API parity layer.
+
+The reference exposes ``PhaseState``, ``spring_oscillation`` and
+``strang_softening_step`` at package level (minbody/__init__.py:42-46,
+hamsoft_flows.py:40-112) plus ``extended_hamiltonian``
+(hamsoft_energy.py:48).  This module provides the same surface on top
+of the functional core so reference-style call sites keep working.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import SimState
+from ..core.config import SimConfig
+from ..core.state import DynParams
+from ..ops.barrier import barrier_energy
+from ..ops.reflection import reflect_if_needed
+from . import hamsoft as hs
+
+
+@dataclass(frozen=True)
+class PhaseState:
+    """Frozen extended-phase-space snapshot (hamsoft_flows.py:40-46)."""
+
+    q: Any
+    p: Any
+    epsilon: float
+    pi: float
+    m: Any
+
+
+def _to_simstate(state: PhaseState, eps_min, eps_max, dtype=jnp.float64):
+    q = jnp.asarray(np.asarray(state.q, dtype=float), dtype)
+    p = jnp.asarray(np.asarray(state.p, dtype=float), dtype)
+    m = jnp.asarray(np.asarray(state.m, dtype=float), dtype)
+    vel = p / m[:, None]
+    eps = jnp.asarray(float(state.epsilon), dtype)
+    return SimState(
+        mass=m, pos=q, vel=vel, eps=eps, pi=jnp.asarray(float(state.pi), dtype),
+        s=eps, step_s2=eps * eps,
+        softening_energy_delta=jnp.zeros((), dtype),
+        hist_count=jnp.ones((), dtype), hist_sum=eps, hist_sumsq=eps * eps,
+        mask=jnp.ones(m.shape, bool))
+
+
+def _dyn_for(state: SimState, *, G, k_soft, mu_soft, eps_min, eps_max,
+             k_wall, alpha_run=None):
+    f = lambda x: jnp.asarray(float(x), state.pos.dtype)
+    a = alpha_run if alpha_run is not None else 1.0
+    return DynParams(
+        G=f(G), s0=f(eps_max / 10.0), min_softening=f(eps_min),
+        max_softening=f(eps_max), softening_scale=f(1.0), k_soft=f(k_soft),
+        mu_soft=f(mu_soft), chi_eps=f(1.0), k_wall=f(k_wall),
+        alpha_run=f(a), omega_spr0=f(0.0), h_sub_ref=f(0.0),
+        n_sub=jnp.asarray(1, jnp.int32), frozen_dt=f(0.0))
+
+
+def spring_oscillation(state: PhaseState, dt: float, k_soft: float, *,
+                       mu: float = 1.0, eps_min: float = 0.0,
+                       eps_max: float = 1.0, cfg: SimConfig | None = None,
+                       G: float = 1.0, **_ignored) -> PhaseState:
+    """Exact spring rotation with momentum impulse
+    (hamsoft_flows.py:427-759).  ``dt`` here is the sub-flow time (the
+    stepper passes h/2)."""
+    cfg = cfg or SimConfig()
+    st = _to_simstate(state, eps_min, eps_max)
+    dyn = _dyn_for(st, G=G, k_soft=k_soft, mu_soft=mu, eps_min=eps_min,
+                   eps_max=eps_max, k_wall=cfg.k_wall)
+    out = hs.spring_half(st, dyn, cfg, 2.0 * float(dt))  # spring_half halves
+    p = np.asarray(out.momenta())
+    return PhaseState(q=np.asarray(out.pos), p=p,
+                      epsilon=float(out.eps), pi=float(out.pi),
+                      m=np.asarray(out.mass))
+
+
+def strang_softening_step(state: PhaseState, dt: float, *, k_soft: float,
+                          eps_min: float, eps_max: float,
+                          k_wall: float = 1.0e9, n_exp: int | None = None,
+                          mu: float = 1.0, cfg: SimConfig | None = None,
+                          **_ignored) -> PhaseState:
+    """Single S-flow + reflection fold (hamsoft_flows.py:48-112)."""
+    out = spring_oscillation(state, dt, k_soft, mu=mu, eps_min=eps_min,
+                             eps_max=eps_max, cfg=cfg)
+    cfg = cfg or SimConfig()
+    if not hs.policy_is_soft(cfg) and not cfg.disable_barrier:
+        e, p = reflect_if_needed(out.epsilon, out.pi, eps_min, eps_max)
+        out = PhaseState(q=out.q, p=out.p, epsilon=float(e), pi=float(p),
+                         m=out.m)
+    return out
+
+
+def extended_hamiltonian(state: PhaseState, *, G: float, k_soft: float,
+                         mu_soft: float, eps_star: float, eps_min: float,
+                         eps_max: float, k_wall: float = 1.0e9,
+                         n_exp: int = 5, integrator=None,
+                         barrier_enabled: bool = True) -> float:
+    """H_ext = T + U_plummer + S_bar + k/2 (eps-eps*)^2 + pi^2/(2 mu)
+    (hamsoft_energy.py:48-162)."""
+    q = np.asarray(state.q, dtype=float)
+    p = np.asarray(state.p, dtype=float)
+    m = np.asarray(state.m, dtype=float)
+    eps = float(state.epsilon)
+    pi = float(state.pi)
+
+    a, b = min(eps_min, eps_max), max(eps_min, eps_max)
+    if not np.isfinite(eps_star):
+        eps_star = eps
+    eps_star = min(max(eps_star, a), b)
+
+    T = 0.5 * float(np.sum(np.sum(p * p, axis=1) / m))
+    n = q.shape[0]
+    U = 0.0
+    if n >= 2 and G != 0.0:
+        diff = q[:, None, :] - q[None, :, :]
+        r2 = np.sum(diff * diff, axis=-1) + eps * eps
+        iu = np.triu_indices(n, 1)
+        U = -G * float(np.sum(m[iu[0]] * m[iu[1]] / np.sqrt(r2[iu])))
+
+    if mu_soft == 0.0 or not np.isfinite(mu_soft):
+        return 1e300
+    d = eps - eps_star
+    Hs = 0.5 * k_soft * d * d
+    Ke = 0.5 * pi * pi / mu_soft
+
+    U_bar = 0.0
+    # reference: the wall term only enters under an explicit soft-policy
+    # integrator (hamsoft_energy.py:131-152 — with integrator=None,
+    # policy_soft stays False and U_bar is zero)
+    pol_soft = False
+    if integrator is not None:
+        pol_soft = getattr(integrator, "barrier_policy", "reflection") == "soft"
+    if barrier_enabled and pol_soft and k_wall > 0.0 and n_exp >= 2:
+        U_bar = float(barrier_energy(eps, a, b, k_wall=k_wall, n=n_exp))
+    return T + U + U_bar + Hs + Ke

@@ -38,7 +38,7 @@ class StabilityDataset:
         exclude.extend(scaler_cols)
         # also exclude non-numeric tag columns the analyzers add
         for c in df.columns:
-            if df[c].dtype == object and c not in exclude:
+            if c not in exclude and not pd.api.types.is_numeric_dtype(df[c]):
                 exclude.append(c)
 
         feature_cols = [c for c in df.columns if c not in exclude]

@@ -53,6 +53,11 @@ def pairwise_geometry(pos, eps=0.0, mask=None):
     return diff, r2, inv_r3
 
 
+# Name parity with the reference's kernel (geometry_cache.py:24).
+def geometry_buffers(pos, eps=0.0, mask=None):
+    return pairwise_geometry(pos, eps=eps, mask=mask)
+
+
 def pairwise_r2(pos, mask=None):
     """Unsoftened pairwise squared distances with ``inf`` on the diagonal
     and on masked pairs (the reference's ``fill_diagonal(r2, inf)``
