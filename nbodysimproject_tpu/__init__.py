@@ -64,8 +64,14 @@ from .ml import (MLP, make_mlp, StabilityDataset, DataUtils, ScalerUtils,
                  MLPTrainer)
 from .ml import train_lightgbm_main
 
+# --- component name-parity views -------------------------------------------
+from .facade.compat import (SimulationState, IntegratorConstants,
+                            TimestepManager, HamSoftParams, HamSoftBarrier,
+                            HamSoftStepper)
+from .utils.accumulator import EnergyAccumulator
+
 # --- utils -----------------------------------------------------------------------
-from .utils import set_global_seed
+from .utils import set_global_seed, save_checkpoint, load_checkpoint
 
 __version__ = "0.1.0"
 
@@ -118,10 +124,20 @@ __all__ = [
     "make_mlp",
     "MLPTrainer",
     "train_lightgbm_main",
+    # component name-parity views (SURVEY.md section 2 inventory)
+    "SimulationState",
+    "IntegratorConstants",
+    "TimestepManager",
+    "HamSoftParams",
+    "HamSoftBarrier",
+    "HamSoftStepper",
+    "EnergyAccumulator",
     # TPU-native additions
     "SimState",
     "DynParams",
     "build_state",
+    "save_checkpoint",
+    "load_checkpoint",
     "LAMBDA_SIGMA_STAR",
     "pairwise_geometry",
     "pairwise_force",

@@ -945,6 +945,52 @@ class _IntegratorShim:
 
         return extended_hamiltonian_of_sim(self._sim)
 
+    # --- probe accessors (SURVEY.md section 5; HSI:300, :1242, :340) ---
+    def report_epsilon_policies(self) -> dict:
+        eps = self._sim._epsilon
+        return {"eom_eps_eff": eps, "vkick_eps_eff": eps}
+
+    def last_eps_star_probe(self) -> dict:
+        from .. import diagnostics as _d
+        import numpy as np
+
+        es, grad = self.eps_star_and_grad()
+        rn = np.sqrt((grad ** 2).sum(axis=1))
+        return {"eps_star": float(es),
+                "grad_norm_max": float(rn.max()) if rn.size else 0.0}
+
+    def _last_vkick_probe(self) -> dict:
+        from ..diagnostics.probes import vkick_probe
+
+        sim = self._sim
+        d = vkick_probe(sim._state, sim._dyn, sim.cfg,
+                        sim._as_dtype(sim._top_dt or sim.cfg.initial_dt))
+        out = {k: float(v) for k, v in d.items()}
+        out["eps_used"] = out["epsilon_used"]
+        return out
+
+    def last_spring_probe(self) -> dict:
+        from ..diagnostics.probes import spring_probe
+
+        sim = self._sim
+        d = spring_probe(sim._state, sim._dyn, sim.cfg,
+                         sim._as_dtype(sim._top_dt or sim.cfg.initial_dt))
+        import numpy as np
+
+        return {k: (np.asarray(v) if getattr(v, "ndim", 0) else float(v))
+                for k, v in d.items()}
+
+    def last_strang_schedule_info(self) -> dict:
+        from ..diagnostics.probes import schedule_probe
+
+        sim = self._sim
+        d = schedule_probe(sim._state, sim._dyn, sim.cfg,
+                           sim._as_dtype(sim._top_dt or sim.cfg.initial_dt))
+        out = {k: float(v) for k, v in d.items()}
+        out["n_sub"] = int(out["n_sub"])
+        out["barrier_policy"] = self.barrier_policy
+        return out
+
 
 class Integrator(_IntegratorShim):
     """Name-parity class (integrator.py:31): the integrator state lives
