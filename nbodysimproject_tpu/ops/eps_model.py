@@ -72,7 +72,11 @@ def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None):
         h_out = jnp.where(done, h, h_new)
         return (h_out, done | (rel < _SOLVE_HI_TOL)), None
 
-    (h, _), _ = jax.lax.scan(body, (h_init, jnp.zeros((), bool)), None,
+    # initial done flag derived from data (always False) so its
+    # "varying over mesh axes" type matches the loop-carried value
+    # under shard_map
+    done0 = ~jnp.all(h_init == h_init)
+    (h, _), _ = jax.lax.scan(body, (h_init, done0), None,
                              length=_SOLVE_HI_MAX_ITER)
     return h
 
