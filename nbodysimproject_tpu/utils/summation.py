@@ -39,7 +39,10 @@ def kahan_sum(x):
         c = (t - s) - y
         return (t, c), None
 
-    (s, _c), _ = jax.lax.scan(body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)), x)
+    # data-derived zeros so the carry's mesh-varying type matches under
+    # shard_map
+    zero = jnp.sum(x) * 0.0
+    (s, _c), _ = jax.lax.scan(body, (zero, zero), x)
     return s
 
 
