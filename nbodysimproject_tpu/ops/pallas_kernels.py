@@ -96,12 +96,17 @@ def pairwise_force_pallas(pos, mass, eps, G, *, ti: int = 256,
         return _pairwise_force_pallas_impl(pos, mass, eps, G, ti=ti, tj=tj,
                                            interpret=True)
 
+    # Compiled TPU path is float32 (float64 is x64-emulated — use the
+    # XLA kernel for that).  The kernel must be traced with x64
+    # disabled: even with int32 index arithmetic and strong-typed
+    # literals in the body, global x64 leaks x64-promoted converts into
+    # the pallas jaxpr that this Mosaic toolchain cannot lower.
     from jax._src.config import enable_x64 as _x64_scope
 
     with _x64_scope(False):
         out = _pairwise_force_pallas_impl(
-            pos.astype(jnp.float32), mass.astype(jnp.float32), eps, G,
-            ti=ti, tj=tj, interpret=False)
+            pos.astype(jnp.float32), mass.astype(jnp.float32),
+            jnp.float32(eps), jnp.float32(G), ti=ti, tj=tj, interpret=False)
     return out.astype(pos.dtype)
 
 
