@@ -87,6 +87,13 @@ class SimConfig:
     #                drifts secularly — reproduces reference
     #                trajectories, not its claimed invariants.
     eps_grad_mode: str = "exact"
+    # Use the Pallas tiled pairwise-force kernel instead of the dense
+    # XLA einsum when a system has at least `pallas_force_min_n`
+    # bodies.  Off by default: the few-body regime (the reference's
+    # entire domain) is faster on the dense path, and the kernel
+    # requires fully-valid (unpadded) systems.
+    use_pallas_forces: bool = False
+    pallas_force_min_n: int = 1024
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

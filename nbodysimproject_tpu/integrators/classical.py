@@ -27,20 +27,33 @@ _W1 = 1.0 / (2.0 - CBRT2)
 _W2 = -CBRT2 / (2.0 - CBRT2)
 
 
+def _force(state: SimState, dyn, cfg, eps):
+    """Force dispatch: dense XLA einsum for few-body, Pallas tiled
+    kernel for large unpadded systems when cfg.use_pallas_forces."""
+    if cfg.use_pallas_forces and state.n_slots >= cfg.pallas_force_min_n:
+        import jax
+
+        from ..ops.pallas_kernels import pairwise_force_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return pairwise_force_pallas(state.pos, state.mass, eps, dyn.G,
+                                     interpret=interpret)
+    return gravitational_force(state.pos, state.mass, eps=eps, G=dyn.G,
+                               mask=state.mask)
+
+
 def classical_accel(state: SimState, dyn, cfg):
     """a_i = F_i / m_i with eps_eff = sqrt(max(step_s2, 0))
     (simulation.py:558-581)."""
     eps_eff = jnp.sqrt(jnp.maximum(state.step_s2, 0.0))
-    F = gravitational_force(state.pos, state.mass, eps=eps_eff, G=dyn.G,
-                            mask=state.mask)
+    F = _force(state, dyn, cfg, eps_eff)
     m_safe = jnp.where(state.mask, state.mass, 1.0)
     return F / m_safe[:, None]
 
 
 def hamsoft_accel(state: SimState, dyn, cfg):
     """a_i with eps = state.eps (simulation.py:549-556)."""
-    F = gravitational_force(state.pos, state.mass, eps=state.eps, G=dyn.G,
-                            mask=state.mask)
+    F = _force(state, dyn, cfg, state.eps)
     m_safe = jnp.where(state.mask, state.mass, 1.0)
     return F / m_safe[:, None]
 
