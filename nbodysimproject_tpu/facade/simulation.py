@@ -254,25 +254,10 @@ class NBodySimulation:
         )
 
     def _init_classical(self):
-        """Integrator.__init__ (integrator.py:37-61): class attrs
-        k_soft = 0, mu_soft = 1; h_sub_ref from init_substep_schedule."""
-        # use_energy_spring off zeroes k_soft, already 0 classically
-        # (simulation.py:144-145)
-        self._dyn = self._base_dyn(k_soft=0.0, mu_soft=1.0, chi_eps=1.0,
-                                   min_softening=self._min_softening)
-        st = self._state
-        eps_star = self._classical_eps_target()
-        h_sub = calib.init_substep_schedule(
-            st.pos, st.mass, st.vel, self._dyn.G,
-            eps_cur=st.eps, pi=st.pi, k_soft=self._dyn.k_soft,
-            mu_soft=self._dyn.mu_soft, min_softening=self._dyn.min_softening,
-            max_softening=self._dyn.max_softening,
-            eps_star=self._as_dtype(eps_star), grad_norm=self._as_dtype(0.0),
-            theta_cap=self._as_dtype(self.cfg.theta_cap),
-            dt_user=self._as_dtype(self.cfg.initial_dt),
-            split_n_max=int(self.cfg.split_n_max), mask=st.mask)
-        self._dyn = self._dyn.replace(h_sub_ref=h_sub)
-        self.h_sub_ref = float(h_sub)
+        """Integrator.__init__ (integrator.py:37-61) via the jitted
+        construction path (identical to the batch engine)."""
+        self._run_jit_init()
+        self.h_sub_ref = float(self._dyn.h_sub_ref)
 
     def _classical_eps_target(self) -> float:
         """Integrator._eps_target fallback chain s0 -> softening_scale ->
@@ -284,81 +269,46 @@ class NBodySimulation:
         return float(self._state.eps)
 
     def _init_hamsoft(self):
-        """HamiltonianSofteningIntegrator.__init__ cascade (HSI:47-141)."""
+        """HamiltonianSofteningIntegrator.__init__ cascade (HSI:47-141)
+        via the jitted construction path (identical math to the batch
+        engine; eager construction costs hundreds of per-op round
+        trips on a remote-TPU link)."""
         cfg = self.cfg
-        st = self._state
-        f = self._as_dtype
-
-        # HamSoftParams (hamsoft_params.py:29-76)
-        k_soft = float(cfg.k_soft)
-        mu_soft = 1.0
-        chi_eps = 1.0
-
-        # (a) eps-model calibration (hamsoft_eps_model.py:645-729)
+        self._run_jit_init()
+        self._min_softening = float(self._dyn.min_softening)
         if cfg.fixed_eps_star and cfg.eps_star_value is not None \
                 and math.isfinite(cfg.eps_star_value):
-            vf = float(cfg.eps_star_value)
-            eps_new = vf
-            min_soft = min(self._min_softening, vf) if self._min_softening > vf \
-                else self._min_softening
-            alpha_run = float(cfg.alpha) if cfg.alpha and cfg.alpha > 0 else 1.0
-            self._state = st = st.replace(eps=f(eps_new), s=f(eps_new),
-                                          step_s2=f(eps_new * eps_new),
-                                          pi=f(0.0))
-            self.force_epsilon_override = vf
+            self.force_epsilon_override = float(cfg.eps_star_value)
         else:
-            alpha_run_j, min_soft_j, eps_new_j = epsmod.calibrate_from_initial_conditions(
-                st.pos, st.mass, eps0=st.eps, eps_min0=f(self._min_softening),
-                eps_max=f(self._max_softening), alpha_cfg=f(cfg.alpha or -1.0),
-                eta=cfg.eta, mask=st.mask)
-            alpha_run = float(alpha_run_j)
-            min_soft = float(min_soft_j)
-            self._state = st = st.replace(eps=f(eps_new_j), s=f(eps_new_j),
-                                          step_s2=f(eps_new_j) * f(eps_new_j))
             self.force_epsilon_override = None
-        self._min_softening = float(min_soft)
-
-        # (b) k_soft autoset (HSI:110-118)
-        eps_min_eff = self._min_softening
-        if not (math.isfinite(eps_min_eff) and eps_min_eff > 0.0):
-            eps_min_eff = max(self._s0 * 0.1, 1e-12)
-        if not (math.isfinite(k_soft) and k_soft > 0.0):
-            M_tot = float(np.sum(np.asarray(st.mass)))
-            k_soft = calib.C_KSOFT * self.G * M_tot * M_tot / eps_min_eff**3
-
-        self._dyn = self._base_dyn(k_soft=k_soft, mu_soft=mu_soft,
-                                   chi_eps=chi_eps, min_softening=min_soft,
-                                   alpha_run=alpha_run)
-
-        # (c) mu from timescales (HSI:251-296)
-        mu_j, omega_j = calib.calibrate_mu_from_timescales(
-            st.pos, st.mass, self._dyn.G, st.eps, self._dyn.k_soft, mask=st.mask)
-        self._dyn = self._dyn.replace(mu_soft=mu_j, omega_spr0=omega_j)
-
         self.force_adaptive_timestep = bool(self._adaptive_timestep)
-
-        # (d) frozen production schedule (HSI:986-1119)
-        self._refreeze(float(cfg.initial_dt))
+        self._frozen_n_sub = int(self._dyn.n_sub)
+        self._frozen_dt = abs(float(cfg.initial_dt))
         self.h_sub_ref = float(self._dyn.h_sub_ref)
 
-    def _refreeze(self, dt: float):
+    def _run_jit_init(self):
+        """One fused construction call: COM-removal already applied on
+        host, so skip_cm_recenter=True; mode demotions were resolved
+        into cfg before this point."""
+        from ..parallel.batch_engine import init_system_jit
+
         st = self._state
-        cfg = self.cfg
-        eps_star = hs.eps_target(st, self._dyn, cfg)
-        include_barrier = hs.policy_is_soft(cfg)
-        h_sub, n_sub, omega = calib.freeze_production_schedule(
-            st.pos, st.mass, self._dyn.G, eps0=st.eps, eps_star=eps_star,
-            k_soft=self._dyn.k_soft, mu_soft=self._dyn.mu_soft,
-            omega_spr0=self._dyn.omega_spr0,
-            dt_user=self._as_dtype(dt), theta_cap=self._as_dtype(cfg.theta_cap),
-            chi_pi=self._as_dtype(cfg.chi_pi), s0=self._dyn.s0,
-            eps_min=self._dyn.min_softening, eps_max=self._dyn.max_softening,
-            k_wall=self._dyn.k_wall, barrier_n=int(cfg.barrier_exponent),
-            include_barrier=include_barrier, mask=st.mask)
-        self._dyn = self._dyn.replace(h_sub_ref=h_sub, n_sub=n_sub,
-                                      omega_spr0=omega,
-                                      frozen_dt=self._as_dtype(abs(dt)))
-        self._frozen_n_sub = int(n_sub)
+        state, dyn = init_system_jit(
+            st.mass, st.pos, st.vel, st.mask, self.cfg,
+            self._as_dtype(self.G), self._as_dtype(self._s0),
+            self._as_dtype(self._min_softening),
+            self._as_dtype(self.cfg.initial_dt), skip_cm_recenter=True)
+        # preserve evolving scalars already set on the state (restore
+        # paths overlay them afterwards anyway)
+        self._state = state
+        self._dyn = dyn
+
+    def _refreeze(self, dt: float):
+        from ..parallel.batch_engine import refreeze_jit
+
+        self._dyn = refreeze_jit(self._state, self._dyn, self.cfg,
+                                 self._as_dtype(dt))
+        self._frozen_n_sub = int(self._dyn.n_sub)
         self._frozen_dt = abs(float(dt))
 
     # ------------------------------------------------------------------

@@ -78,12 +78,21 @@ def _init_classical(state, dyn, cfg, dt):
 
 def _init_hamsoft(state, dyn, cfg, dt):
     f = lambda x: jnp.asarray(x, dt.dtype)
-    # eps-model calibration (hamsoft_eps_model.py:645-729)
-    alpha_run, min_soft, eps_new = epsmod.calibrate_from_initial_conditions(
-        state.pos, state.mass, eps0=state.eps, eps_min0=dyn.min_softening,
-        eps_max=dyn.max_softening, alpha_cfg=f(cfg.alpha or -1.0),
-        eta=cfg.eta, mask=state.mask)
-    state = state.replace(eps=eps_new, s=eps_new, step_s2=eps_new * eps_new)
+    if cfg.fixed_eps_star and cfg.eps_star_value is not None \
+            and cfg.eps_star_value == cfg.eps_star_value:
+        # fixed-eps* override (hamsoft_eps_model.py:645-667, HSI:71-86)
+        vf = f(cfg.eps_star_value)
+        min_soft = jnp.where(dyn.min_softening > vf, vf, dyn.min_softening)
+        alpha_run = f(cfg.alpha if (cfg.alpha or 0) > 0 else 1.0)
+        state = state.replace(eps=vf, s=vf, step_s2=vf * vf,
+                              pi=jnp.zeros_like(vf))
+    else:
+        # eps-model calibration (hamsoft_eps_model.py:645-729)
+        alpha_run, min_soft, eps_new = epsmod.calibrate_from_initial_conditions(
+            state.pos, state.mass, eps0=state.eps, eps_min0=dyn.min_softening,
+            eps_max=dyn.max_softening, alpha_cfg=f(cfg.alpha or -1.0),
+            eta=cfg.eta, mask=state.mask)
+        state = state.replace(eps=eps_new, s=eps_new, step_s2=eps_new * eps_new)
     dyn = dyn.replace(alpha_run=alpha_run, min_softening=min_soft)
 
     # k_soft (cfg value, autoset when <= 0; HSI:110-118)
@@ -112,6 +121,34 @@ def _init_hamsoft(state, dyn, cfg, dt):
     dyn = dyn.replace(h_sub_ref=h_sub, n_sub=n_sub, omega_spr0=omega,
                       mu_soft=mu2, frozen_dt=jnp.abs(dt))
     return state, dyn
+
+
+@partial(jax.jit, static_argnames=("cfg", "skip_cm_recenter"))
+def init_system_jit(mass, pos, vel, mask, cfg, G, softening, min_softening,
+                    dt, skip_cm_recenter=False):
+    """Jitted single-system construction (the facade's calibration
+    path — eager construction costs hundreds of per-op round trips on
+    a remote-TPU link)."""
+    return init_system(mass, pos, vel, mask, cfg, G=G, softening=softening,
+                       min_softening=min_softening, dt=dt,
+                       skip_cm_recenter=skip_cm_recenter)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def refreeze_jit(state, dyn, cfg, dt):
+    """Recompute the ham_soft frozen schedule for a new dt
+    (HSI:862-864)."""
+    eps_star = hs.eps_target(state, dyn, cfg)
+    h_sub, n_sub, omega = calib.freeze_production_schedule(
+        state.pos, state.mass, dyn.G, eps0=state.eps, eps_star=eps_star,
+        k_soft=dyn.k_soft, mu_soft=dyn.mu_soft, omega_spr0=dyn.omega_spr0,
+        dt_user=dt, theta_cap=jnp.asarray(cfg.theta_cap, dt.dtype),
+        chi_pi=jnp.asarray(cfg.chi_pi, dt.dtype), s0=dyn.s0,
+        eps_min=dyn.min_softening, eps_max=dyn.max_softening,
+        k_wall=dyn.k_wall, barrier_n=int(cfg.barrier_exponent),
+        include_barrier=hs.policy_is_soft(cfg), mask=state.mask)
+    return dyn.replace(h_sub_ref=h_sub, n_sub=n_sub, omega_spr0=omega,
+                       frozen_dt=jnp.abs(dt))
 
 
 @partial(jax.jit, static_argnames=("cfg", "skip_cm_recenter"))
