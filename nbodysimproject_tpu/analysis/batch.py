@@ -17,6 +17,7 @@ so each group is a single compile.
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +27,10 @@ from ..core.state import SimState, DynParams
 from .stability import analyze_batch_jit, StabilityAnalyzer
 
 
-def stack_sims(sims):
+def stack_sims(sims, dyns_list=None):
     """Stack facade simulations into batched (states, dyns) PyTrees,
     padding body counts to the max N in the group."""
     n_slots = max(s._state.n_slots for s in sims)
-    dtype = sims[0]._state.pos.dtype
 
     def pad_state(st: SimState) -> SimState:
         k = n_slots - st.n_slots
@@ -45,9 +45,46 @@ def stack_sims(sims):
 
     states = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[pad_state(s._state) for s in sims])
+    if dyns_list is None:
+        dyns_list = [s._dyn for s in sims]
     dyns = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[s._dyn for s in sims])
+        lambda *xs: jnp.stack(xs), *dyns_list)
     return states, dyns
+
+
+def _scheduled_dyn(sim, dt: float) -> DynParams:
+    """The sim's DynParams with the pi-budget mu raise and (if dt is
+    not within 1% of the frozen dt) a refrozen schedule — pure, no
+    mutation of the facade sim."""
+    from ..integrators import calibration as calib
+    from ..parallel.batch_engine import refreeze_jit
+
+    dyn = sim._dyn
+    if sim._integrator_mode != "ham_soft":
+        import math
+
+        h_sub = float(dyn.h_sub_ref)
+        if not (math.isfinite(h_sub) and h_sub > 0.0):
+            h_sub = abs(dt)
+        n = int(max(1, min(sim.cfg.split_n_max,
+                           math.ceil(abs(dt) / h_sub))))
+        return dyn.replace(n_sub=jnp.asarray(n, jnp.int32))
+
+    mu_new = calib.calibrate_mu_from_pi_budget(
+        dyn.mu_soft, dyn.k_soft, sim._as_dtype(abs(dt)),
+        sim._as_dtype(sim.cfg.theta_imp))
+    dyn = dyn.replace(mu_soft=mu_new)
+    prev = getattr(sim, "_frozen_dt", None)
+    if prev is None or prev <= 0.0 or abs(abs(dt) - prev) / prev > 0.01:
+        dyn = refreeze_jit(sim._state, dyn, sim.cfg, sim._as_dtype(dt))
+    return dyn
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _features_batch_jit(states, dyns, cfg):
+    from ..diagnostics import features as F
+
+    return jax.vmap(lambda s, d: F.extract_all(s, d, cfg))(states, dyns)
 
 
 class BatchStabilityAnalyzer:
@@ -104,30 +141,31 @@ class BatchStabilityAnalyzer:
 
         key0 = jax.random.PRNGKey(self.seed)
         for (cfg, mode), idxs in groups.items():
-            sims = [simulations[i].copy() for i in idxs]
-            n_sub_max = max(s._n_sub_for(self.dt) for s in sims)
-            for s in sims:
-                s._dyn = s._dyn.replace(
-                    n_sub=jnp.asarray(s._n_sub_for(self.dt), jnp.int32))
-            states, dyns = stack_sims(sims)
+            sims = [simulations[i] for i in idxs]
+            # schedule for this dt without mutating the caller's sims
+            # (strang_substeps' pi-budget raise, HSI:800)
+            dyns_list = [_scheduled_dyn(s, self.dt) for s in sims]
+            n_subs = np.asarray(jax.device_get(
+                jnp.stack([d.n_sub for d in dyns_list])))
+            n_sub_max = int(n_subs.max())
+            states, dyns = stack_sims(sims, dyns_list)
             keys = jax.random.split(jax.random.fold_in(key0, idxs[0]),
                                     len(idxs))
             res, _ = analyze_batch_jit(
                 states, dyns, cfg, keys, self.n_steps,
                 jnp.asarray(self.dt, states.pos.dtype), mode, n_sub_max,
                 megno_steps)
+            if self.mode == "full":
+                from ..diagnostics import features as F
+
+                feats = _features_batch_jit(states, dyns, cfg)
+                res = dict(res)
+                for k, v in feats.items():
+                    res[f"initial_{k}"] = v
             res_np = {k: np.asarray(v) for k, v in res.items()}
             for j, i in enumerate(idxs):
                 row = {k: float(v[j]) for k, v in res_np.items()}
                 row["mode"] = self.mode
-                if self.mode == "full":
-                    from ..diagnostics import features as F
-
-                    initial = F.extract_all(simulations[i]._state,
-                                            simulations[i]._dyn,
-                                            simulations[i].cfg)
-                    for k, v in initial.items():
-                        row[f"initial_{k}"] = float(v)
                 self._postprocess(row, simulations[i])
                 row["simulation_id"] = i
                 self.results[i] = row

@@ -94,6 +94,10 @@ class SimConfig:
     # requires fully-valid (unpadded) systems.
     use_pallas_forces: bool = False
     pallas_force_min_n: int = 1024
+    # Pad body slots up to a multiple of this bucket (masked padding is
+    # exactly trajectory-neutral).  Populations with mixed body counts
+    # then share one compiled program per bucket instead of one per N.
+    slot_bucket: int = 1
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

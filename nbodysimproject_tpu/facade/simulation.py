@@ -168,7 +168,10 @@ class NBodySimulation:
         self._acc_cached = False
         self._last_dt = None
 
-        self._state = build_state(m_np, q_np, v_np, eps=s0, dtype=self._dtype)
+        bucket = max(1, int(self.cfg.slot_bucket))
+        n_slots = -(-m_np.size // bucket) * bucket
+        self._state = build_state(m_np, q_np, v_np, eps=s0,
+                                  n_slots=n_slots, dtype=self._dtype)
         self._n_bodies = int(m_np.size)
 
         # --- integrator construction -------------------------------------

@@ -35,8 +35,12 @@ class GeneratorConfig:
 
 
 class InitialConditionGenerator:
-    def __init__(self, config: GeneratorConfig | None = None):
+    def __init__(self, config: GeneratorConfig | None = None,
+                 sim_config=None):
         self.config = config or GeneratorConfig()
+        # optional shared SimConfig for the constructed simulations
+        # (the pipeline passes one with slot bucketing)
+        self.sim_config = sim_config
         if self.config.seed is not None:
             np.random.seed(self.config.seed)
 
@@ -104,6 +108,8 @@ class InitialConditionGenerator:
         m, p, v = self.generate_single(n_bodies)
         kwargs: Dict = dict(masses=m, positions=p, velocities=v,
                             G=self.config.G, softening=self.config.softening)
+        if self.sim_config is not None:
+            kwargs["config"] = self.sim_config
         if integrator_mode is not None:
             kwargs["integrator_mode"] = integrator_mode
         if adaptive_softening is not None:

@@ -12,14 +12,23 @@ batched TPU analyzer, replacing the reference's serial loop.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .ic_generator import InitialConditionGenerator, GeneratorConfig
 from .specialized import SpecializedGenerators
-from ..facade.simulation import NBodySimulation
 from ..analysis.stability import StabilityAnalyzer
 from ..analysis.batch import BatchStabilityAnalyzer
+from ..core.config import SimConfig
+from ..facade.simulation import NBodySimulation as _NBodySimulation
 from ..utils.seeding import set_global_seed
+
+# All pipeline systems share one config with body slots bucketed to 8:
+# n in [3, 7] then compiles ONE program per analysis group instead of
+# one per body count (masked padding is trajectory-neutral).
+_PIPE_CFG = SimConfig(slot_bucket=8)
+NBodySimulation = functools.partial(_NBodySimulation, config=_PIPE_CFG)
 
 
 class MLTrainingPipeline:
@@ -28,7 +37,7 @@ class MLTrainingPipeline:
         self.n_systems = n_systems
         self.n_steps = max(500, min(2000, n_steps))
         self.dt = dt
-        self.ic_generator = InitialConditionGenerator()
+        self.ic_generator = InitialConditionGenerator(sim_config=_PIPE_CFG)
         self.batch_analyzer = BatchStabilityAnalyzer(
             n_steps=self.n_steps, dt=self.dt, mode="full")
 
@@ -49,7 +58,7 @@ class MLTrainingPipeline:
                 softening=np.random.uniform(0.001, 0.1),
             )
             simulations.append(
-                InitialConditionGenerator(config).create_simulation(n_bodies))
+                InitialConditionGenerator(config, sim_config=_PIPE_CFG).create_simulation(n_bodies))
 
         n_hier = int(0.3 * self.n_systems)
         print(f"2. Generating {n_hier} hierarchical systems...")
@@ -81,7 +90,7 @@ class MLTrainingPipeline:
                                      velocity_virial_fraction=1.5,
                                      velocity_perturbation=0.3,
                                      softening=0.001)
-            simulations.append(InitialConditionGenerator(config)
+            simulations.append(InitialConditionGenerator(config, sim_config=_PIPE_CFG)
                                .create_simulation(np.random.randint(3, 5)))
 
         print(f"\nAnalyzing {len(simulations)} systems...")
@@ -105,7 +114,7 @@ class MLTrainingPipeline:
                     config = GeneratorConfig(
                         velocity_virial_fraction=1.0,
                         velocity_perturbation=np.random.uniform(0.1, 0.3))
-                    sim = InitialConditionGenerator(config).create_simulation(
+                    sim = InitialConditionGenerator(config, sim_config=_PIPE_CFG).create_simulation(
                         np.random.randint(3, 5))
                 else:
                     m, p, v = SpecializedGenerators.generate_equal_mass_polygon(
@@ -127,7 +136,7 @@ class MLTrainingPipeline:
                     velocity_virial_fraction=np.random.uniform(1.5, 2.0),
                     velocity_perturbation=0.5,
                     softening=0.001)
-                simulations.append(InitialConditionGenerator(config)
+                simulations.append(InitialConditionGenerator(config, sim_config=_PIPE_CFG)
                                    .create_simulation(np.random.randint(3, 6)))
 
         results_df = self.batch_analyzer.analyze_batch(simulations)
