@@ -77,6 +77,14 @@ def _scheduled_dyn(sim, dt: float) -> DynParams:
     prev = getattr(sim, "_frozen_dt", None)
     if prev is None or prev <= 0.0 or abs(abs(dt) - prev) / prev > 0.01:
         dyn = refreeze_jit(sim._state, dyn, sim.cfg, sim._as_dtype(dt))
+    # Batch policy: cap the frozen substep count at split_n_max.  The
+    # reference leaves ham_soft's n_pred uncapped (HSI:504-551 chunks
+    # but runs them all), so one near-singular system can demand 1e4+
+    # substeps; in a masked batch every system would pay that cost.
+    # Such systems blow up regardless (the reference's own smoke test
+    # crashes on them) and get labelled pathological/unstable.
+    dyn = dyn.replace(n_sub=jnp.minimum(
+        dyn.n_sub, jnp.asarray(int(sim.cfg.split_n_max), jnp.int32)))
     return dyn
 
 
@@ -85,6 +93,102 @@ def _features_batch_jit(states, dyns, cfg):
     from ..diagnostics import features as F
 
     return jax.vmap(lambda s, d: F.extract_all(s, d, cfg))(states, dyns)
+
+
+def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
+                       min_softening=0.0, dt=0.01, n_steps=1000,
+                       mode="core", seed=0, show_progress=True):
+    """Fully-batched population analysis: ONE construction program and
+    ONE analysis program for (B, N, d) arrays — no per-system host
+    work.  This is the path that makes the 1e5-system sweep of
+    BASELINE config #5 feasible (the facade path costs ~0.25 s of host
+    dispatch per system over a remote-TPU link).
+
+    ``softening`` / ``G`` / ``min_softening`` may be scalars or (B,)
+    arrays.  Returns a pandas DataFrame shaped like
+    ``BatchStabilityAnalyzer.analyze_batch``'s.
+    """
+    import pandas as pd
+
+    from ..integrators import calibration as calib
+    from ..parallel.batch_engine import build_batch
+
+    B = pos.shape[0]
+    dtype = jnp.float32 if cfg.fast_float32 else jnp.float64
+    mass = jnp.asarray(mass, dtype)
+    pos = jnp.asarray(pos, dtype)
+    vel = jnp.asarray(vel, dtype)
+    mask = jnp.asarray(mask, bool)
+
+    if show_progress:
+        print(f"Analyzing {B} systems (batched)...")
+
+    states, dyns = build_batch(mass, pos, vel, mask, cfg, G, softening,
+                               min_softening, dt)
+    if cfg.integrator_mode == "ham_soft":
+        mu_new = calib.calibrate_mu_from_pi_budget(
+            dyns.mu_soft, dyns.k_soft, jnp.asarray(abs(dt), dtype),
+            jnp.asarray(cfg.theta_imp, dtype))
+        dyns = dyns.replace(mu_soft=mu_new)
+    dyns = dyns.replace(n_sub=jnp.minimum(
+        dyns.n_sub, jnp.asarray(int(cfg.split_n_max), jnp.int32)))
+
+    megno_steps = 0
+    if mode == "full":
+        n_samp = min(50, n_steps // 2)
+        megno_steps = min(100, n_samp) if n_samp > 0 else 0
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+    # --- n_sub bucketing: in a masked batch every system pays the
+    # group's max substep count, so split the population into
+    # power-of-two n_sub buckets (typical populations are dominated by
+    # n_sub <= 2 with a pathological tail at split_n_max) -------------
+    n_subs = np.asarray(jax.device_get(dyns.n_sub))
+    buckets = 1 << np.ceil(np.log2(np.maximum(n_subs, 1))).astype(int)
+    res_rows = {}
+    feats_rows = {}
+    for b in np.unique(buckets):
+        idx = np.nonzero(buckets == b)[0]
+        # pad the group to a power-of-two size so repeated runs reuse
+        # compiled programs
+        bsz = 1 << int(np.ceil(np.log2(len(idx))))
+        pad_idx = np.concatenate([idx, np.repeat(idx[:1], bsz - len(idx))])
+        take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
+        r, _ = analyze_batch_jit(take(states), take(dyns), cfg,
+                                 keys[pad_idx], int(n_steps),
+                                 jnp.asarray(dt, dtype), mode, int(b),
+                                 megno_steps)
+        r = {k: np.asarray(jax.device_get(v))[:len(idx)]
+             for k, v in r.items()}
+        if mode == "full":
+            f = _features_batch_jit(take(states), take(dyns), cfg)
+            f = {k: np.asarray(jax.device_get(v))[:len(idx)]
+                 for k, v in f.items()}
+        for k, v in r.items():
+            res_rows.setdefault(k, np.zeros(B, v.dtype))[idx] = v
+        if mode == "full":
+            for k, v in f.items():
+                feats_rows.setdefault(f"initial_{k}",
+                                      np.zeros(B, v.dtype))[idx] = v
+
+    res_np = dict(res_rows)
+    res_np.update(feats_rows)
+    df = pd.DataFrame(res_np)
+    df["mode"] = mode
+    bad = (~np.isfinite(df["energy_drift"])) | (df["energy_drift"].abs() > 10)
+    df["pathological_energy"] = bad
+    df.loc[bad, "is_stable"] = 0.0
+    if cfg.integrator_mode == "ham_soft":
+        df["softening_policy"] = "adaptive-ham"
+    elif cfg.adaptive_softening:
+        df["softening_policy"] = "adaptive-classic"
+    else:
+        df["softening_policy"] = "static"
+    df["simulation_id"] = np.arange(B)
+    if show_progress:
+        print(f"Completed: {B} simulations analyzed")
+    return df
 
 
 class BatchStabilityAnalyzer:

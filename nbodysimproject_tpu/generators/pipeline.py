@@ -24,10 +24,13 @@ from ..core.config import SimConfig
 from ..facade.simulation import NBodySimulation as _NBodySimulation
 from ..utils.seeding import set_global_seed
 
-# All pipeline systems share one config with body slots bucketed to 8:
-# n in [3, 7] then compiles ONE program per analysis group instead of
-# one per body count (masked padding is trajectory-neutral).
-_PIPE_CFG = SimConfig(slot_bucket=8)
+# All pipeline systems share one config with body slots bucketed to 8
+# (n in [3, 7] then compiles ONE program per analysis group instead of
+# one per body count; masked padding is trajectory-neutral) and the
+# float32 fast path (float64 is software-emulated on TPU; the
+# stability verdict thresholds are at the 1e-2 level, far above f32
+# noise).
+_PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True)
 NBodySimulation = functools.partial(_NBodySimulation, config=_PIPE_CFG)
 
 
@@ -100,6 +103,81 @@ class MLTrainingPipeline:
             ["random"] * n_random + ["hierarchical"] * n_hier
             + ["polygon"] * n_poly + ["close_encounter"] * n_close)
         return results_df
+
+    def generate_diverse_dataset_batched(self):
+        """The same four cohorts as ``generate_diverse_dataset`` but
+        produced as (B, N, d) arrays and analysed by ONE batched
+        construction + analysis program (``analyze_population``) — the
+        path for 1e5-scale sweeps (BASELINE config #5)."""
+        from ..analysis.batch import analyze_population
+
+        print(f"Generating {self.n_systems} diverse N-body systems "
+              f"(batched)...")
+        N_SLOTS = 8
+        rows_m, rows_q, rows_v, softs, types = [], [], [], [], []
+
+        def add(m, q, v, soft, tag):
+            n = len(m)
+            mm = np.zeros(N_SLOTS)
+            qq = np.zeros((N_SLOTS, 2))
+            vv = np.zeros((N_SLOTS, 2))
+            mm[:n] = m
+            qq[:n] = q
+            vv[:n] = v
+            rows_m.append(mm)
+            rows_q.append(qq)
+            rows_v.append(vv)
+            softs.append(soft)
+            types.append(tag)
+
+        n_random = int(0.4 * self.n_systems)
+        for i in range(n_random):
+            n_bodies = np.random.randint(3, 6)
+            config = GeneratorConfig(
+                mass_range=(0.1, 10.0), use_log_mass=(i % 2 == 0),
+                position_scale=np.random.uniform(0.5, 2.0),
+                velocity_virial_fraction=np.random.uniform(0.8, 1.2),
+                velocity_perturbation=np.random.uniform(0.05, 0.2),
+                softening=np.random.uniform(0.001, 0.1))
+            m, q, v = InitialConditionGenerator(config).generate_single(n_bodies)
+            add(m, q, v, config.softening, "random")
+
+        n_hier = int(0.3 * self.n_systems)
+        for _ in range(n_hier):
+            m, q, v = SpecializedGenerators.generate_hierarchical_triple(
+                np.random.uniform(0.1, 1.0), np.random.uniform(0.1, 2.0),
+                np.random.uniform(3, 50))
+            v = v + np.random.randn(*v.shape) * 0.05
+            add(m, q, v, 0.01, "hierarchical")
+
+        n_poly = int(0.2 * self.n_systems)
+        for _ in range(n_poly):
+            m, q, v = SpecializedGenerators.generate_equal_mass_polygon(
+                np.random.randint(3, 8), np.random.uniform(0.5, 3.0),
+                np.random.uniform(0, 1.0))
+            add(m, q, v, 0.05, "polygon")
+
+        n_close = self.n_systems - n_random - n_hier - n_poly
+        for _ in range(n_close):
+            config = GeneratorConfig(position_scale=0.1,
+                                     velocity_virial_fraction=1.5,
+                                     velocity_perturbation=0.3,
+                                     softening=0.001)
+            m, q, v = InitialConditionGenerator(config).generate_single(
+                np.random.randint(3, 5))
+            add(m, q, v, 0.001, "close_encounter")
+
+        mass = np.stack(rows_m)
+        pos = np.stack(rows_q)
+        vel = np.stack(rows_v)
+        mask = mass > 0
+
+        df = analyze_population(
+            mass, pos, vel, mask, _PIPE_CFG, G=1.0,
+            softening=np.asarray(softs), min_softening=0.0, dt=self.dt,
+            n_steps=self.n_steps, mode="full")
+        df["system_type"] = types
+        return df
 
     def generate_focused_dataset(self, focus: str = "boundary"):
         print(f"Generating {self.n_systems} systems focused on {focus} cases...")
