@@ -77,22 +77,36 @@ class MLPTrainer:
 
         n = len(X_train)
         steps = max(1, n // batch_size)
+        Xd = jnp.asarray(X_train)
+        yd = jnp.asarray(y_train)
+        Xv = jnp.asarray(X_val)
+        yv = jnp.asarray(y_val)
 
+        # One jitted scan per epoch (per-batch dispatch is round-trip
+        # bound on a remote accelerator link)
         @jax.jit
-        def train_step(params, opt_state, xb, yb, dropout_key):
-            def loss_fn(p):
-                logits = self.model.apply(p, xb, train=True,
-                                          rngs={"dropout": dropout_key})
-                return bce_with_logits(logits, yb)
+        def train_epoch(params, opt_state, perm, key):
+            def body(carry, idx):
+                params, opt_state, key = carry
+                key, dk = jax.random.split(key)
+                xb = Xd[idx]
+                yb = yd[idx]
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+                def loss_fn(p):
+                    logits = self.model.apply(p, xb, train=True,
+                                              rngs={"dropout": dk})
+                    return bce_with_logits(logits, yb)
 
-        @jax.jit
-        def eval_loss(params, xb, yb):
-            logits = self.model.apply(params, xb, train=False)
-            return bce_with_logits(logits, yb)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), perm)
+            val = bce_with_logits(self.model.apply(params, Xv, train=False),
+                                  yv)
+            return params, opt_state, key, jnp.mean(losses), val
 
         best_val = np.inf
         best_params = params
@@ -100,18 +114,12 @@ class MLPTrainer:
         rng = np.random.default_rng(self.seed)
 
         for epoch in range(epochs):
-            perm = rng.permutation(n)
-            ep_loss = 0.0
-            for s in range(steps):
-                idx = perm[s * batch_size:(s + 1) * batch_size]
-                key, dk = jax.random.split(key)
-                params, opt_state, loss = train_step(
-                    params, opt_state, jnp.asarray(X_train[idx]),
-                    jnp.asarray(y_train[idx]), dk)
-                ep_loss += float(loss)
-            ep_loss /= steps
-            val_loss = float(eval_loss(params, jnp.asarray(X_val),
-                                       jnp.asarray(y_val)))
+            perm = rng.permutation(n)[: steps * batch_size].reshape(
+                steps, batch_size)
+            params, opt_state, key, ep_loss_j, val_loss_j = train_epoch(
+                params, opt_state, jnp.asarray(perm), key)
+            ep_loss = float(ep_loss_j)
+            val_loss = float(val_loss_j)
             if epoch % 10 == 0:
                 print(f"Epoch {epoch}: Train Loss = {ep_loss:.4f}, "
                       f"Val Loss = {val_loss:.4f}")
