@@ -156,6 +156,22 @@ def analyze_system(state: SimState, dyn, cfg, key, *, n_steps: int, dt,
     return result, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "n_sub_max"))
+def _track_max_radius_jit(state, dyn, cfg, dt, n_steps, n_sub_max):
+    """Integrate n_steps tracking max_i |q_i| over the run
+    (stability_analyzer.py:279-285)."""
+    def body(carry, _):
+        s, mx = carry
+        s = macro_step_dynamic(s, dyn, cfg, dt, n_sub_max)
+        r = jnp.sqrt(jnp.sum(s.pos * s.pos, axis=1))
+        r = jnp.where(s.mask, r, 0.0)
+        return (s, jnp.maximum(mx, jnp.max(r))), None
+
+    (state, max_r), _ = jax.lax.scan(
+        body, (state, jnp.zeros((), state.pos.dtype)), None, length=n_steps)
+    return state, max_r
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "mode", "n_sub_max",
                                    "megno_steps"))
 def analyze_system_jit(state, dyn, cfg, key, n_steps, dt, mode, n_sub_max,
@@ -213,6 +229,133 @@ class StabilityAnalyzer:
                                     self.sim.cfg)
             for k, v in initial.items():
                 out[f"initial_{k}"] = float(v)
+        return out
+
+    # ------------------------------------------------------------------
+    # alternate analysis paths (stability_analyzer.py:262-519): virial
+    # radius, crossing time, 10*T_cr horizon, escape counting,
+    # Lyapunov/T_cr >= 50 criterion
+    # ------------------------------------------------------------------
+
+    def _energy_drift_tolerance(self) -> float:
+        """stability_analyzer.py:63-67."""
+        tol_base = 3e-4
+        dt_factor = (self.dt / 0.01) ** 1.5
+        soft_factor = (self.sim.softening / 0.05) ** 0.5
+        return tol_base * dt_factor * soft_factor
+
+    def _quick_virial_radius(self) -> float:
+        """stability_analyzer.py:49-61 (pair-distance form with the
+        +1e-12 regulariser)."""
+        m = self.sim._mass
+        pos = self.sim._pos
+        G = self.sim.G
+        U = 0.0
+        for i in range(len(m) - 1):
+            for j in range(i + 1, len(m)):
+                r = np.linalg.norm(pos[j] - pos[i]) + 1e-12
+                U -= G * m[i] * m[j] / r
+        tot = float(m.sum())
+        return abs(-G * tot ** 2 / (2 * U)) if U else 1.0
+
+    def _compute_virial_radius(self) -> float:
+        """stability_analyzer.py:361-379 (softened-potential form with
+        mean-distance fallback)."""
+        from ..diagnostics.metrics import Diagnostics
+
+        PE = Diagnostics(self.sim).potential_energy()
+        total_mass = float(np.sum(self.sim._mass))
+        if PE != 0:
+            return abs(-self.sim.G * total_mass ** 2 / (2 * PE))
+        pos = self.sim._pos
+        n = self.sim.n_bodies
+        dists = [np.linalg.norm(pos[j] - pos[i])
+                 for i in range(n) for j in range(i + 1, n)]
+        return float(np.mean(dists)) if dists else 1.0
+
+    def _crossing_time(self) -> float:
+        R_vir = self._compute_virial_radius()
+        v_rms = float(np.sqrt(np.mean(np.sum(self._initial_vel ** 2, axis=1))))
+        return R_vir / v_rms if v_rms > 0 else float("inf")
+
+    def _determine_stability(self, energy_drift, max_radius, R_vir,
+                             lyapunov_time, T_cr) -> bool:
+        """stability_analyzer.py:386-392."""
+        rate = energy_drift / (self.n_steps * self.dt)
+        good_energy = rate < 1.2 * self._energy_drift_tolerance()
+        good_escape = max_radius <= 10.0 * R_vir
+        good_chaos = lyapunov_time >= 50.0 * T_cr
+        return bool(good_energy and good_escape and good_chaos)
+
+    def _run_core_analysis(self) -> dict:
+        """stability_analyzer.py:262-312: integrate to 10 crossing
+        times tracking the maximum radial excursion, then MEGNO."""
+        import jax
+
+        from ..diagnostics.megno import megno_jit
+        from . import stability as _self_mod
+
+        sim = self.sim.copy()
+        R_vir = self._compute_virial_radius()
+        T_cr = self._crossing_time()
+        t_target = 10.0 * T_cr if np.isfinite(T_cr) and T_cr > 0 \
+            else self.n_steps * self.dt
+        n_iter = max(self.n_steps, int(np.ceil(t_target / self.dt)))
+        n_sub = sim._n_sub_for(self.dt)
+
+        from ..diagnostics.energy import extended_hamiltonian
+        from ..diagnostics.metrics import Diagnostics
+
+        E0 = Diagnostics(sim).energy()
+        st, max_r = _track_max_radius_jit(sim._state, sim._dyn, sim.cfg,
+                                          sim._as_dtype(self.dt), n_iter,
+                                          n_sub)
+        sim._state = st
+        E1 = Diagnostics(sim).energy()
+        energy_drift = abs((E1 - E0) / E0) if E0 != 0 else 0.0
+
+        self._key, sub = jax.random.split(self._key)
+        st, megno, lyap = megno_jit(sim._state, sim._dyn, sim.cfg, sub, 100,
+                                    sim._as_dtype(self.dt), n_sub)
+        sim._state = st
+        old_n = self.n_steps
+        self.n_steps = n_iter
+        is_stable = self._determine_stability(energy_drift, float(max_r),
+                                              R_vir, float(lyap), T_cr)
+        self.n_steps = old_n
+        return {
+            "mode": "core",
+            "energy_drift": energy_drift,
+            "max_radial_distance": float(max_r),
+            "virial_radius": R_vir,
+            "MEGNO": float(megno),
+            "lyapunov_time": float(lyap),
+            "crossing_time": T_cr,
+            "is_stable": float(is_stable),
+            "n_steps": float(n_iter),
+            "dt": self.dt,
+            "total_time": n_iter * self.dt,
+        }
+
+    def _run_full_analysis(self) -> dict:
+        """stability_analyzer.py:314-346: core horizon plus escape
+        fraction and the ML feature set."""
+        res = self._run_core_analysis()
+        sim = self.sim.copy()
+        n_iter = int(res["n_steps"])
+        n_sub = sim._n_sub_for(self.dt)
+        st, _mr = _track_max_radius_jit(sim._state, sim._dyn, sim.cfg,
+                                        sim._as_dtype(self.dt), n_iter, n_sub)
+        sim._state = st
+        final_r = np.sqrt((np.asarray(st.pos)[: sim.n_bodies] ** 2).sum(1))
+        escaped = int(np.sum(final_r > 5 * res["virial_radius"]))
+        feats = F.extract_all(self.sim._state, self.sim._dyn, self.sim.cfg)
+        out = dict(res)
+        out["mode"] = "full"
+        out["escaped_bodies"] = float(escaped)
+        out["escape_fraction"] = escaped / sim.n_bodies
+        for k, v in feats.items():
+            out[k] = float(v)
         return out
 
     def serialize_to_dict(self, diagnostics: dict, max_bodies=None) -> dict:

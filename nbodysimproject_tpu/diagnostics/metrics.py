@@ -121,6 +121,25 @@ class Diagnostics:
                          L0=self._L0, megno_slope_median=med)
         return {k: float(v) for k, v in d.items()}
 
+    # -- rate-limited diagnostics (diagnostics.py:387-421) ----------------
+    _GLOBAL_DIAG_COUNTS: dict = {}
+
+    def _rate_limited_diag_print(self, key: str, msg: str) -> None:
+        cfg = getattr(self.sim, "cfg", None)
+        if cfg is not None and not getattr(cfg, "diag_prints", True):
+            return
+        limit = int(getattr(cfg, "diag_print_limit", 3)) if cfg else 3
+        interval = int(getattr(cfg, "diag_print_interval", 1000)) if cfg else 1000
+        limit = max(limit, 0)
+        interval = max(interval, 1)
+        counts = Diagnostics._GLOBAL_DIAG_COUNTS
+        c = counts.get(key, 0) + 1
+        counts[key] = c
+        if c <= limit:
+            print(msg)
+        elif c % interval == 0:
+            print(f"{msg} (occurrence #{c})")
+
     # -- runtime energy guard (diagnostics.py:288-384) --------------------
     def energy_guard(self, dt: float) -> None:
         cfg = self.sim.cfg
