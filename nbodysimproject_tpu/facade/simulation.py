@@ -30,7 +30,6 @@ from ..integrators import step as step_mod
 from ..integrators.classical import apply_corrector, classical_accel, hamsoft_accel
 from ..integrators.whfast import whfast_corrector, to_jacobi as _to_jac, from_jacobi as _from_jac
 from ..integrators import hamsoft as hs
-from ..ops import eps_model as epsmod
 from ..ops.geometry import min_separation
 from .body import Body, BodyView
 
@@ -241,20 +240,6 @@ class NBodySimulation:
         self._state = None
         self._dyn = None
         self.softening_energy_delta = 0.0
-
-    def _base_dyn(self, *, k_soft, mu_soft, chi_eps, min_softening,
-                  alpha_run=1.0, omega_spr0=0.0, h_sub_ref=0.0, n_sub=1,
-                  frozen_dt=0.0) -> DynParams:
-        f = self._as_dtype
-        return DynParams(
-            G=f(self.G), s0=f(self._s0), min_softening=f(min_softening),
-            max_softening=f(self._max_softening),
-            softening_scale=f(self._softening_scale),
-            k_soft=f(k_soft), mu_soft=f(mu_soft), chi_eps=f(chi_eps),
-            k_wall=f(self.cfg.k_wall), alpha_run=f(alpha_run),
-            omega_spr0=f(omega_spr0), h_sub_ref=f(h_sub_ref),
-            n_sub=jnp.asarray(n_sub, jnp.int32), frozen_dt=f(frozen_dt),
-        )
 
     def _init_classical(self):
         """Integrator.__init__ (integrator.py:37-61) via the jitted
