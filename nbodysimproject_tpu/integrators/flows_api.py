@@ -63,19 +63,97 @@ def _dyn_for(state: SimState, *, G, k_soft, mu_soft, eps_min, eps_max,
 def spring_oscillation(state: PhaseState, dt: float, k_soft: float, *,
                        mu: float = 1.0, eps_min: float = 0.0,
                        eps_max: float = 1.0, cfg: SimConfig | None = None,
-                       G: float = 1.0, **_ignored) -> PhaseState:
+                       G: float = 1.0, integrator=None,
+                       eps_star_override=None, grad_override=None,
+                       **_ignored) -> PhaseState:
     """Exact spring rotation with momentum impulse
     (hamsoft_flows.py:427-759).  ``dt`` here is the sub-flow time (the
-    stepper passes h/2)."""
+    stepper passes h/2).
+
+    With ``integrator=None`` and no overrides, the reference resolves
+    eps* to the current epsilon and a zero gradient
+    (hamsoft_flows.py:472-496): the rotation acts on (0, pi) and no
+    momentum impulse is applied — reproduced here.  Passing a facade
+    ``NBodySimulation``'s integrator (or overrides) engages the
+    production eps* model.
+    """
     cfg = cfg or SimConfig()
     st = _to_simstate(state, eps_min, eps_max)
     dyn = _dyn_for(st, G=G, k_soft=k_soft, mu_soft=mu, eps_min=eps_min,
                    eps_max=eps_max, k_wall=cfg.k_wall)
-    out = hs.spring_half(st, dyn, cfg, 2.0 * float(dt))  # spring_half halves
+
+    if integrator is not None and eps_star_override is None:
+        sim = getattr(integrator, "sim", None) or getattr(integrator, "_sim",
+                                                          None)
+        if sim is not None:
+            es, gg = hs.eps_star_and_grad(st, sim._dyn, sim.cfg)
+            eps_star_override = float(es)
+            grad_override = np.asarray(gg)
+
+    if eps_star_override is None:
+        eps_star_override = float(state.epsilon)
+    if grad_override is None:
+        grad_override = np.zeros_like(np.asarray(state.q, dtype=float))
+
+    out = _spring_half_fixed_star(st, dyn, cfg, 2.0 * float(dt),
+                                  eps_star_override,
+                                  jnp.asarray(grad_override, st.pos.dtype))
     p = np.asarray(out.momenta())
     return PhaseState(q=np.asarray(out.pos), p=p,
                       epsilon=float(out.eps), pi=float(out.pi),
                       m=np.asarray(out.mass))
+
+
+def _spring_half_fixed_star(st, dyn, cfg, h, eps_star, grad):
+    """spring_half with explicit (eps*, grad) — the override path of
+    hamsoft_flows.py:499-511."""
+    import jax.numpy as jnp
+
+    dt_f = 0.5 * h
+    mu = float(dyn.mu_soft) or 1.0
+    k_s = float(dyn.k_soft)
+    eps0 = st.eps
+    pi0 = st.pi
+    has = (k_s > 0.0) and (mu > 0.0)
+    omega = (k_s / mu) ** 0.5 if has else 0.0
+    theta = omega * dt_f
+    sin_t, cos_t = hs.sin_cos_stable(jnp.asarray(theta, st.pos.dtype))
+
+    if hs._barrier_on(cfg):
+        k1 = 0.5 * dt_f * hs._bar_force(cfg, dyn, eps0)
+    else:
+        k1 = 0.0
+    Delta0 = eps0 - eps_star
+    pi_in = pi0 + k1
+    if has and omega != 0.0:
+        mu_omega = (mu * k_s) ** 0.5
+        delta_t = Delta0 * cos_t + (pi_in / (mu * omega)) * sin_t
+        eta_t = pi_in * cos_t - mu_omega * Delta0 * sin_t
+        I_tau = (Delta0 / omega) * sin_t + (pi_in / (mu * omega * omega)) \
+            * (1.0 - cos_t)
+    else:
+        delta_t, eta_t, I_tau = Delta0, pi_in, 0.0
+    eps_rot = eps_star + delta_t
+    if hs._barrier_on(cfg):
+        k2 = 0.5 * dt_f * hs._bar_force(cfg, dyn, eps_rot)
+    else:
+        k2 = 0.0
+    pi_out = eta_t + k2
+
+    p = st.momenta()
+    J = k_s * I_tau
+    p_scale = jnp.maximum(hs._row_max_norm(p, st.mask), 1e-12)
+    dp_inf = hs._row_max_norm(J * grad, st.mask)
+    thr = cfg.j_max_cap * p_scale
+    scale = jnp.where(dp_inf > thr, thr / jnp.maximum(dp_inf, 1e-300), 1.0)
+    p_new = p + (J * scale) * grad
+
+    # NOTE: the raw spring_oscillation does NOT reflect — the fold is
+    # applied by strang_softening_step / the stepper around it
+    # (hamsoft_flows.py:93-104)
+    vel = p_new / st.mass[:, None]
+    return st.replace(vel=vel, eps=jnp.asarray(eps_rot, st.pos.dtype),
+                      pi=jnp.asarray(pi_out, st.pos.dtype))
 
 
 def strang_softening_step(state: PhaseState, dt: float, *, k_soft: float,
