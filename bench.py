@@ -93,26 +93,31 @@ def main():
 
     rate = rate_xla
     if dtype == jnp.float32 and dev.platform != "cpu" and B % (8 * 512) == 0:
-        po, vo = verlet_multistep_jit(states.pos, states.vel, states.mass,
-                                      states.step_s2, DT, 1.0, N_STEPS, 512)
-        jax.block_until_ready((po, vo))
-        best_pal = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        try:
             po, vo = verlet_multistep_jit(states.pos, states.vel,
                                           states.mass, states.step_s2,
                                           DT, 1.0, N_STEPS, 512)
             jax.block_until_ready((po, vo))
-            best_pal = min(best_pal, time.perf_counter() - t0)
-        rate_pal = B * N_STEPS / best_pal
-        # positions of chaotic systems diverge under any roundoff
-        # difference; energy drift is the meaningful health check
-        out_pal = out.replace(pos=po, vel=vo)
-        H1p = _H(out_pal, 0)
-        drift_pal = abs((H1p - H0) / H0) if H0 != 0 else float("nan")
-        print(f"[bench] pallas-fused: {best_pal:.4f}s rate={rate_pal:.3e} "
-              f"drift(sys0)={drift_pal:.2e}", file=sys.stderr)
-        rate = max(rate, rate_pal)
+            best_pal = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                po, vo = verlet_multistep_jit(states.pos, states.vel,
+                                              states.mass, states.step_s2,
+                                              DT, 1.0, N_STEPS, 512)
+                jax.block_until_ready((po, vo))
+                best_pal = min(best_pal, time.perf_counter() - t0)
+            rate_pal = B * N_STEPS / best_pal
+            # positions of chaotic systems diverge under any roundoff
+            # difference; energy drift is the meaningful health check
+            out_pal = out.replace(pos=po, vel=vo)
+            H1p = _H(out_pal, 0)
+            drift_pal = abs((H1p - H0) / H0) if H0 != 0 else float("nan")
+            print(f"[bench] pallas-fused: {best_pal:.4f}s rate={rate_pal:.3e} "
+                  f"drift(sys0)={drift_pal:.2e}", file=sys.stderr)
+            rate = max(rate, rate_pal)
+        except Exception as e:  # fall back to the XLA-scan number
+            print(f"[bench] pallas-fused path unavailable: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
 
     target = 1.0e6  # north star: >=1e6 system-steps/s/chip at B>=1e4
     print(json.dumps({
