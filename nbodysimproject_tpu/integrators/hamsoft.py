@@ -125,9 +125,23 @@ def _row_max_norm(x, mask=None):
     return jnp.max(r) if r.shape[0] else jnp.zeros((), x.dtype)
 
 
-def spring_half(state: SimState, dyn, cfg, h) -> SimState:
+def spring_half(state: SimState, dyn, cfg, h, es_grad=None) -> SimState:
     """S(h/2): exact harmonic rotation + J-capped momentum impulse
     (hamsoft_flows.py:427-759 via hamsoft_stepper.py:47-133)."""
+    out, _cache = spring_half_cached(state, dyn, cfg, h, es_grad)
+    return out
+
+
+def spring_half_cached(state: SimState, dyn, cfg, h, es_grad=None):
+    """spring_half returning (state, (eps_star, grad)).
+
+    The S-flow does not move q, so its (eps*, grad) evaluation stays
+    valid for an immediately following S-flow at the same positions —
+    the last S of Strang substep k and the first S of substep k+1.
+    Passing ``es_grad`` skips the SPH solve + reverse sweep, the
+    dominant per-substep cost; the decision is structural (not
+    data-dependent), so the saving survives vmap.
+    """
     soft = policy_is_soft(cfg)
     refl = not soft and not cfg.disable_barrier
 
@@ -137,13 +151,17 @@ def spring_half(state: SimState, dyn, cfg, h) -> SimState:
         eps0, pi0 = _fold(cfg, dyn, eps0, pi0)  # s_half pre-fold (:107-117)
 
     if cfg.freeze_s_subsystem:
-        return state.replace(eps=eps0, pi=pi0, s=eps0, step_s2=eps0 * eps0)
+        out = state.replace(eps=eps0, pi=pi0, s=eps0, step_s2=eps0 * eps0)
+        return out, es_grad
 
     dt_f = 0.5 * h
     m = state.mass
     p = state.momenta()
 
-    eps_star, grad = eps_star_and_grad(state, dyn, cfg)
+    if es_grad is None:
+        eps_star, grad = eps_star_and_grad(state, dyn, cfg)
+    else:
+        eps_star, grad = es_grad
 
     mu = dyn.mu_soft
     mu = jnp.where(jnp.isfinite(mu) & (mu != 0.0), mu, 1.0)
@@ -202,8 +220,9 @@ def spring_half(state: SimState, dyn, cfg, h) -> SimState:
     m_safe = jnp.where(state.mask, m, 1.0)
     vel = p_new / m_safe[:, None]
     vel = jnp.where(state.mask[:, None], vel, state.vel)
-    return state.replace(vel=vel, eps=eps_fin, pi=pi_fin,
-                         s=eps_fin, step_s2=eps_fin * eps_fin)
+    out = state.replace(vel=vel, eps=eps_fin, pi=pi_fin,
+                        s=eps_fin, step_s2=eps_fin * eps_fin)
+    return out, (eps_star, grad)
 
 
 def v_half_kick(state: SimState, dyn, cfg, h) -> SimState:
@@ -242,6 +261,16 @@ def t_drift(state: SimState, dyn, cfg, h) -> SimState:
 
 def strang_substep(state: SimState, dyn, cfg, h) -> SimState:
     """One full Strang substep (hamsoft_stepper.py:247-308)."""
+    out, _cache = strang_substep_cached(state, dyn, cfg, h, None)
+    return out
+
+
+def strang_substep_cached(state: SimState, dyn, cfg, h, es_grad=None):
+    """Strang substep threading the (eps*, grad) cache: the incoming
+    cache (if any) feeds the leading S-flow; the trailing S-flow's
+    evaluation is returned for the next substep (valid because only
+    T moves q, and both flows around a substep boundary see the same
+    positions)."""
     soft = policy_is_soft(cfg)
     refl = not soft and not cfg.disable_barrier
 
@@ -250,23 +279,23 @@ def strang_substep(state: SimState, dyn, cfg, h) -> SimState:
         state = state.replace(eps=e, pi=p, s=e, step_s2=e * e)
 
     if cfg._validate_S_only:
-        state = spring_half(state, dyn, cfg, h)
-        state = spring_half(state, dyn, cfg, h)
+        state, es_grad = spring_half_cached(state, dyn, cfg, h, es_grad)
+        state, es_grad = spring_half_cached(state, dyn, cfg, h, es_grad)
         if refl:
             e, p = _fold(cfg, dyn, state.eps, state.pi)
             state = state.replace(eps=e, pi=p, s=e, step_s2=e * e)
-        return state
+        return state, es_grad
 
-    state = spring_half(state, dyn, cfg, h)
+    state, _eg = spring_half_cached(state, dyn, cfg, h, es_grad)
     state = v_half_kick(state, dyn, cfg, h)
     state = t_drift(state, dyn, cfg, h)
     state = v_half_kick(state, dyn, cfg, h)
-    state = spring_half(state, dyn, cfg, h)
+    state, es_grad_out = spring_half_cached(state, dyn, cfg, h, None)
 
     if refl:
         e, p = _fold(cfg, dyn, state.eps, state.pi)
         state = state.replace(eps=e, pi=p, s=e, step_s2=e * e)
-    return state
+    return state, es_grad_out
 
 
 def canonical_eom(state: SimState, dyn, cfg):

@@ -81,10 +81,31 @@ def substep_fn(cfg):
 
 
 def macro_step(state: SimState, dyn, cfg, dt, n_sub: int) -> SimState:
-    """One sim.step(dt) with a static substep count."""
-    body = substep_fn(cfg)
+    """One sim.step(dt) with a static substep count.
+
+    ham_soft threads the (eps*, grad) cache across substep boundaries
+    (hamsoft.strang_substep_cached): only T moves q, so the trailing
+    S-flow's evaluation is exact for the next substep's leading S-flow
+    — one SPH solve + reverse sweep per substep instead of two.
+    """
     h = dt / n_sub
     state = begin_step(state, cfg)
+
+    if cfg.integrator_mode == "ham_soft":
+        from .hamsoft import strang_substep_cached
+
+        state, cache = strang_substep_cached(state, dyn, cfg, h, None)
+        if n_sub > 1:
+            def scan_body(carry, _):
+                s, c = carry
+                s, c = strang_substep_cached(s, dyn, cfg, h, c)
+                return (s, c), None
+
+            (state, _c), _ = jax.lax.scan(scan_body, (state, cache), None,
+                                          length=n_sub - 1)
+        return finish_step(state, cfg)
+
+    body = substep_fn(cfg)
 
     def scan_body(s, _):
         return body(s, dyn, cfg, h), None
@@ -100,10 +121,32 @@ def macro_step_dynamic(state: SimState, dyn, cfg, dt, n_sub_max: int) -> SimStat
     i < n_sub (identity otherwise), with h = dt / n_sub, so each system
     in a vmapped batch follows its own frozen schedule exactly.
     """
-    body = substep_fn(cfg)
     n_sub = jnp.maximum(dyn.n_sub, 1)
     h = dt / n_sub.astype(state.pos.dtype)
     state = begin_step(state, cfg)
+
+    if cfg.integrator_mode == "ham_soft":
+        from .hamsoft import strang_substep_cached
+
+        # trip 0 is never masked (n_sub >= 1); later trips select
+        # identity per lane — a masked lane's q is unchanged, so its
+        # carried cache stays valid
+        state, cache = strang_substep_cached(state, dyn, cfg, h, None)
+        if n_sub_max > 1:
+            def scan_body(carry, i):
+                s, c = carry
+                s_new, c_new = strang_substep_cached(s, dyn, cfg, h, c)
+                keep = i < n_sub
+                sel = lambda a, b: jnp.where(keep, a, b)
+                s_out = jax.tree_util.tree_map(sel, s_new, s)
+                c_out = jax.tree_util.tree_map(sel, c_new, c)
+                return (s_out, c_out), None
+
+            (state, _c), _ = jax.lax.scan(scan_body, (state, cache),
+                                          jnp.arange(1, n_sub_max))
+        return finish_step(state, cfg)
+
+    body = substep_fn(cfg)
 
     def scan_body(carry, i):
         s = carry
