@@ -124,11 +124,12 @@ def analyze_system(state: SimState, dyn, cfg, key, *, n_steps: int, dt,
     ang_mom_drift = _rel_drift(L1, L0)
 
     if mode == "full" and megno_steps > 0:
-        state, megno, lyap = megno_scan(state, dyn, cfg, key, megno_steps,
-                                        dt, n_sub_max=n_sub_max)
+        state, megno, lyap, slope_med = megno_scan(
+            state, dyn, cfg, key, megno_steps, dt, n_sub_max=n_sub_max)
     else:
         megno = jnp.asarray(2.0, dtype)
         lyap = jnp.asarray(jnp.inf, dtype)
+        slope_med = jnp.zeros((), dtype)  # slope of the constant Y=2
 
     com_mean = _mean(accs["com_drift"])
     is_stable = ((energy_drift < 0.01) & (ang_mom_drift < 0.01)
@@ -152,6 +153,7 @@ def analyze_system(state: SimState, dyn, cfg, key, *, n_steps: int, dt,
         "tidal_trace_max": accs["tr_hessian"][3],
         "MEGNO": megno,
         "lyapunov_time": lyap,
+        "megno_slope_med": slope_med,
     }
     return result, state
 
@@ -315,8 +317,9 @@ class StabilityAnalyzer:
         energy_drift = abs((E1 - E0) / E0) if E0 != 0 else 0.0
 
         self._key, sub = jax.random.split(self._key)
-        st, megno, lyap = megno_jit(sim._state, sim._dyn, sim.cfg, sub, 100,
-                                    sim._as_dtype(self.dt), n_sub)
+        st, megno, lyap, _slope = megno_jit(sim._state, sim._dyn, sim.cfg,
+                                            sub, 100,
+                                            sim._as_dtype(self.dt), n_sub)
         sim._state = st
         old_n = self.n_steps
         self.n_steps = n_iter

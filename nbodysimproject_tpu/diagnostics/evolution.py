@@ -37,10 +37,12 @@ class EvolutionFeatures:
             n_sub = int(max(1, min(sim.cfg.split_n_max,
                                    math.ceil(abs(dt) / h_sub))))
         self._key, sub = jax.random.split(self._key)
-        st, Y, lyap = megno_jit(sim._state, sim._dyn, sim.cfg, sub,
-                                int(n_steps), sim._as_dtype(dt), n_sub)
+        st, Y, lyap, slope_med = megno_jit(sim._state, sim._dyn, sim.cfg, sub,
+                                           int(n_steps), sim._as_dtype(dt),
+                                           n_sub)
         sim._state = st
         sim._has_integrated = True
+        self.last_megno_slope_med = float(slope_med)
         return float(Y), float(lyap)
 
     def extract_evolution_features(self) -> dict:

@@ -50,8 +50,16 @@ def megno_scan(state: SimState, dyn, cfg, key, n_steps: int, dt,
                n_sub=None, n_sub_max: int = 0):
     """Run n_steps MEGNO steps fused with the integrator.
 
-    Returns (final_state, Y, lyapunov_time).  ``n_sub`` static int for
-    the facade path; ``n_sub_max`` > 0 selects the dynamic batched path.
+    Returns (final_state, Y, lyapunov_time, slope_med).  ``n_sub``
+    static int for the facade path; ``n_sub_max`` > 0 selects the
+    dynamic batched path.
+
+    ``slope_med`` is the median over steps of the instantaneous MEGNO
+    slope dY/dt — the quantity the reference's ``megno_slope_med``
+    metric was designed to summarise but never actually produces (its
+    ``step_metrics`` is only ever called without a slope history,
+    minbody/diagnostics.py:266-282, stability_analyzer.py:121-127).
+    Computing it here fills the otherwise-dead training column.
     """
     delta_r0, delta_v0 = init_tangent(key, state)
     dt = jnp.asarray(dt, state.pos.dtype)
@@ -75,14 +83,22 @@ def megno_scan(state: SimState, dyn, cfg, key, n_steps: int, dt,
         norm_r = jnp.where(tiny, 1.0, norm_r)
         norm_v = jnp.sqrt(jnp.sum(dv * dv))
         accum = accum + (norm_v / jnp.maximum(norm_r, 1e-300)) * t * dt
-        return (st, dr, dv, accum, t), None
+        Y_t = 2.0 * accum / jnp.maximum(t, 1e-300)
+        return (st, dr, dv, accum, t), Y_t
 
     zero = jnp.zeros((), state.pos.dtype)
-    (st, _dr, _dv, accum, t), _ = jax.lax.scan(
+    (st, _dr, _dv, accum, t), ys = jax.lax.scan(
         body, (state, delta_r0, delta_v0, zero, zero), None, length=n_steps)
     Y = 2.0 * accum / jnp.maximum(t, 1e-300)
     lyap = jnp.where(Y == 0.0, jnp.inf, t / jnp.abs(Y))
-    return st, Y, lyap
+    # per-step slope dY/dt; ys has static length n_steps so the median
+    # is a fixed-shape sort
+    if n_steps >= 2:
+        slopes = (ys[1:] - ys[:-1]) / dt
+        slope_med = jnp.median(slopes)
+    else:
+        slope_med = jnp.zeros((), state.pos.dtype)
+    return st, Y, lyap, slope_med
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "n_sub"))

@@ -22,6 +22,37 @@ from ..core.state import SimState
 E = importlib.import_module(__package__ + ".energy")
 
 
+def tidal_trace(state: SimState, dyn, cfg=None):
+    """Trace of the Hessian of the softened potential over all
+    coordinates: sum_i lap_i V = 2 G sum_{i<j} m_i m_j
+    (d*(r^2+eps^2) - 3 r^2) / (r^2+eps^2)^{5/2}.
+
+    The reference's ``tr_hessian`` step metric reads the vestigial
+    ``_last_tr_hessian`` attribute, initialised 0.0 and never updated
+    (minbody/integrator.py:48, diagnostics.py:266) — a dead column in
+    its training frame.  Here the tidal trace is computed for real
+    (documented deviation; see README "reference defects")."""
+    pos = state.pos
+    m = state.mass
+    msk = state.mask
+    d_dim = pos.shape[-1]
+    diff = pos[:, None, :] - pos[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    # the force softening in use (facade _accel dispatch: ham_soft uses
+    # the canonical eps, classical modes sqrt(step_s2))
+    if cfg is not None and getattr(cfg, "integrator_mode", None) != "ham_soft":
+        eps2 = state.step_s2
+    else:
+        eps2 = state.eps * state.eps
+    s = r2 + eps2
+    n = pos.shape[0]
+    pm = (msk[:, None] & msk[None, :]) & ~jnp.eye(n, dtype=bool)
+    mm = m[:, None] * m[None, :]
+    num = d_dim * s - 3.0 * r2
+    contrib = jnp.where(pm, mm * num / jnp.maximum(s, 1e-300) ** 2.5, 0.0)
+    return dyn.G * jnp.sum(contrib)  # i!=j double counts = full trace
+
+
 def step_metrics(state: SimState, dyn, cfg, L0=None, megno_slope_median=None):
     """dict of COM drift, J_eps, theta_eps, L stats, energy breakdown
     (diagnostics.py:241-285).  ``L0`` is the first-seen total angular
@@ -60,7 +91,7 @@ def step_metrics(state: SimState, dyn, cfg, L0=None, megno_slope_median=None):
         L_tot=L_tot,
         var_L=var_L,
         cos_theta=cos_theta,
-        tr_hessian=jnp.asarray(jnp.nan, pos.dtype),
+        tr_hessian=tidal_trace(state, dyn, cfg),
         megno_slope_med=(jnp.asarray(jnp.nan, pos.dtype)
                          if megno_slope_median is None else megno_slope_median),
         theta_eps=theta_eps,
