@@ -1,25 +1,38 @@
-"""Random initial-condition generation.
+"""TPU-first initial-condition generation: jax.random-keyed, batch-first.
 
-Parity: ``minbody/initial_condition_generator.py`` — ``GeneratorConfig``
-(:29-38), ``InitialConditionGenerator`` (:41-169): uniform / log-uniform
-masses, Gaussian positions, virial-scaled velocities with perturbation
-and double COM removal, batch generation over random body counts, and
-``validate_system``.
+Capability parity with ``minbody/initial_condition_generator.py:29-169``
+(uniform / log-uniform masses, Gaussian position clouds, velocities
+scaled to a virial-ratio target with random directions, perturbation
+noise and double COM-momentum projection, random body counts, facade
+construction, and system validation) — but the mechanism is redesigned
+per SURVEY.md section 7.5: instead of per-system ``np.random`` draws in
+a Python loop, one jitted program draws the entire ``(B, N, d)``
+population from a single ``jax.random`` key, with ragged body counts
+expressed as slot masks.  Per-system hyperparameters (mass range,
+position scale, virial fraction, ...) are ``(B,)`` arrays, so a
+heterogeneous population is still ONE program.
 
-Host-side numpy with the reference's ``np.random`` semantics (the
-generators are cheap; the expensive part — analysis — runs batched on
-the TPU).  ``generate_batch_arrays`` additionally returns padded+masked
-arrays ready for the batched engine.
+Two physics conventions are inherited from the reference because they
+are the spec, not the mechanism:
+
+* the generator's virial potential uses ``r + eps`` (not Plummer
+  ``sqrt(r^2 + eps^2)``) — initial_condition_generator.py:70-78;
+* every body gets the same speed ``v_char`` with a random direction,
+  then Gaussian noise of ``v_char * perturbation`` is added, with the
+  COM momentum projected out before and after — :80-97.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ..facade.simulation import NBodySimulation
+_TINY = 1.0e-300
 
 
 @dataclass
@@ -34,79 +47,186 @@ class GeneratorConfig:
     seed: Optional[int] = None
 
 
+# ----------------------------------------------------------------------
+# batch kernels (pure; written for one system, vmapped over B)
+# ----------------------------------------------------------------------
+
+def com_momentum_projection(m, v, mask):
+    """Project out the centre-of-mass velocity (masked)."""
+    mm = jnp.where(mask, m, 0.0)
+    M = jnp.maximum(jnp.sum(mm), _TINY)
+    com = jnp.sum(mm[:, None] * v, axis=0) / M
+    return jnp.where(mask[:, None], v - com, 0.0)
+
+
+def _pair_stats(q, m, mask, softening, G):
+    """(U_gen, mean_sep): the generator's r+eps potential and the mean
+    pair distance, both over valid pairs only."""
+    n = q.shape[0]
+    diff = q[:, None, :] - q[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    pm = (mask[:, None] & mask[None, :]) & ~jnp.eye(n, dtype=bool)
+    pmf = pm.astype(q.dtype)
+    mm = m[:, None] * m[None, :]
+    # i != j double-counts every pair, hence the 0.5
+    U = -0.5 * G * jnp.sum(pmf * mm / (r + softening + _TINY))
+    npairs = jnp.maximum(jnp.sum(pmf), 1.0)
+    mean_sep = jnp.sum(pmf * r) / npairs
+    mean_sep = jnp.where(mean_sep > 0.0, mean_sep, 1.0)
+    return U, mean_sep
+
+
+def virial_speed(m, q, mask, *, G, softening, virial_fraction):
+    """The common speed v_char that puts the system at the requested
+    virial ratio: K_target = -U/2 * fraction, v = sqrt(2 K / M); if the
+    target is non-positive, fall back to sqrt(G M / <r>)."""
+    U, mean_sep = _pair_stats(q, m, mask, softening, G)
+    M = jnp.maximum(jnp.sum(jnp.where(mask, m, 0.0)), _TINY)
+    K_target = -0.5 * U * virial_fraction
+    return jnp.where(K_target > 0.0,
+                     jnp.sqrt(2.0 * K_target / M),
+                     jnp.sqrt(G * M / mean_sep))
+
+
+def virial_velocities(key, m, q, mask, *, G, softening, virial_fraction,
+                      perturbation):
+    """Random-direction velocities at the virial speed, perturbed, with
+    the COM momentum projected out before and after the noise."""
+    k_dir, k_noise = jax.random.split(key)
+    v_char = virial_speed(m, q, mask, G=G, softening=softening,
+                          virial_fraction=virial_fraction)
+    raw = jax.random.normal(k_dir, q.shape, q.dtype)
+    speed = jnp.sqrt(jnp.sum(raw * raw, axis=-1, keepdims=True))
+    v = jnp.where(speed > 0.0, raw / jnp.maximum(speed, _TINY) * v_char, raw)
+    v = com_momentum_projection(m, v, mask)
+    noise = jax.random.normal(k_noise, q.shape, q.dtype)
+    v = v + noise * v_char * perturbation
+    v = jnp.where(mask[:, None], v, 0.0)
+    return com_momentum_projection(m, v, mask)
+
+
+def _generate_one(key, mask, p, *, n_slots: int, dim: int, dtype):
+    """One system from one key.  ``p`` is a dict of per-system scalar
+    hyperparameters (possibly traced)."""
+    k_m, k_q, k_v = jax.random.split(key, 3)
+    lo, hi = p["mass_lo"], p["mass_hi"]
+    u = jax.random.uniform(k_m, (n_slots,), dtype)
+    m_lin = lo + u * (hi - lo)
+    m_log = jnp.exp(jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo)))
+    m = jnp.where(p["log_mass"], m_log, m_lin)
+    m = jnp.where(mask, m, 0.0)
+
+    q = jax.random.normal(k_q, (n_slots, dim), u.dtype) * p["position_scale"]
+    q = jnp.where(mask[:, None], q, 0.0)
+
+    v = virial_velocities(k_v, m, q, mask, G=p["G"],
+                          softening=p["softening"],
+                          virial_fraction=p["virial_fraction"],
+                          perturbation=p["perturbation"])
+    return m, q, v
+
+
+@partial(jax.jit, static_argnames=("n_slots", "dim", "dtype"))
+def generate_population(key, n_bodies, *, n_slots: int, dim: int = 2,
+                        mass_lo=0.1, mass_hi=10.0, log_mass=False,
+                        position_scale=1.0, virial_fraction=1.0,
+                        perturbation=0.1, softening=0.05, G=1.0,
+                        dtype=jnp.float64):
+    """Generate a whole (B, n_slots, dim) population in one program.
+
+    ``n_bodies`` is a (B,) int array; every other hyperparameter may be
+    a scalar or a (B,) array.  Returns (mass, pos, vel, mask).
+    """
+    n_bodies = jnp.asarray(n_bodies, jnp.int32)
+    B = n_bodies.shape[0]
+    mask = jnp.arange(n_slots, dtype=jnp.int32)[None, :] < n_bodies[:, None]
+    keys = jax.random.split(key, B)
+
+    names = ("mass_lo", "mass_hi", "log_mass", "position_scale",
+             "virial_fraction", "perturbation", "softening", "G")
+    vals = (mass_lo, mass_hi, log_mass, position_scale, virial_fraction,
+            perturbation, softening, G)
+    params = {k: jnp.broadcast_to(jnp.asarray(v, dtype
+                                              if k != "log_mass" else None),
+                                  (B,)) for k, v in zip(names, vals)}
+
+    gen = lambda k, msk, p: _generate_one(k, msk, p, n_slots=n_slots,
+                                          dim=dim, dtype=dtype)
+    m, q, v = jax.vmap(gen)(keys, mask, params)
+    return m, q, v, mask
+
+
+def sample_body_counts(key, B: int, n_range: Tuple[int, int]):
+    """(B,) body counts uniform over the inclusive range."""
+    return jax.random.randint(key, (B,), n_range[0], n_range[1] + 1)
+
+
+# ----------------------------------------------------------------------
+# facade — reference-shaped OO surface over the batched kernels
+# ----------------------------------------------------------------------
+
 class InitialConditionGenerator:
+    """API-parity view: the reference's per-system methods implemented
+    by slicing the batch-first kernels at B=1."""
+
     def __init__(self, config: GeneratorConfig | None = None,
                  sim_config=None):
         self.config = config or GeneratorConfig()
-        # optional shared SimConfig for the constructed simulations
-        # (the pipeline passes one with slot bucketing)
         self.sim_config = sim_config
-        if self.config.seed is not None:
-            np.random.seed(self.config.seed)
+        seed = self.config.seed
+        if seed is None:
+            # tie unseeded generators into the global numpy stream so
+            # set_global_seed reproduces whole pipelines
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        self._key = jax.random.PRNGKey(seed)
 
-    def _generate_masses(self, n: int) -> np.ndarray:
-        lo, hi = self.config.mass_range
-        if self.config.use_log_mass:
-            return np.exp(np.random.uniform(np.log(lo), np.log(hi), n))
-        return np.random.uniform(lo, hi, n)
+    def _split(self):
+        self._key, k = jax.random.split(self._key)
+        return k
 
-    def _generate_positions(self, n: int) -> np.ndarray:
-        return np.random.randn(n, 2) * self.config.position_scale
-
-    def _compute_mean_separation(self, positions: np.ndarray) -> float:
-        n = len(positions)
-        if n < 2:
-            return 1.0
-        dx = positions[:, None, :] - positions[None, :, :]
-        dist = np.sqrt((dx ** 2).sum(axis=-1))
-        iu = np.triu_indices(n, 1)
-        return float(np.mean(dist[iu])) if iu[0].size else 1.0
-
-    def _compute_potential_energy(self, m, pos) -> float:
-        """NOTE: the generator's potential uses r + eps (not Plummer),
-        matching initial_condition_generator.py:70-78."""
-        G, eps = self.config.G, self.config.softening
-        n = len(m)
-        dx = pos[:, None, :] - pos[None, :, :]
-        r = np.sqrt((dx ** 2).sum(-1)) + eps
-        iu = np.triu_indices(n, 1)
-        return float(-G * np.sum((m[:, None] * m[None, :])[iu] / r[iu]))
-
-    def _generate_velocities(self, m, pos) -> np.ndarray:
-        n, G = len(m), self.config.G
-        U = self._compute_potential_energy(m, pos)
-        K_target = -U / 2.0 * self.config.velocity_virial_fraction
-        if K_target <= 0.0:
-            v_char = np.sqrt(G * m.sum() / self._compute_mean_separation(pos))
-        else:
-            v_char = np.sqrt(2.0 * K_target / m.sum())
-
-        vel = np.random.randn(n, 2)
-        speed = np.linalg.norm(vel, axis=1, keepdims=True)
-        vel = np.where(speed > 0, vel / speed * v_char, vel)
-        vel = _remove_com_velocity(m, vel)
-        vel += np.random.randn(n, 2) * v_char * self.config.velocity_perturbation
-        vel = _remove_com_velocity(m, vel)
-        return vel
+    def _params(self) -> Dict:
+        c = self.config
+        return dict(mass_lo=c.mass_range[0], mass_hi=c.mass_range[1],
+                    log_mass=c.use_log_mass,
+                    position_scale=c.position_scale,
+                    virial_fraction=c.velocity_virial_fraction,
+                    perturbation=c.velocity_perturbation,
+                    softening=c.softening, G=c.G)
 
     def generate_single(self, n_bodies: int):
-        m = self._generate_masses(n_bodies)
-        p = self._generate_positions(n_bodies)
-        v = self._generate_velocities(m, p)
-        return m, p, v
+        m, q, v, _ = generate_population(
+            self._split(), jnp.asarray([n_bodies]), n_slots=int(n_bodies),
+            **self._params())
+        return (np.asarray(m[0]), np.asarray(q[0]), np.asarray(v[0]))
 
     def generate_batch(self, n_systems: int,
                        n_bodies_range: Tuple[int, int] = (3, 5)) -> List:
-        out = []
-        for _ in range(n_systems):
-            n = np.random.randint(n_bodies_range[0], n_bodies_range[1] + 1)
-            out.append(self.generate_single(n))
-        return out
+        k_n = self._split()
+        counts = sample_body_counts(k_n, n_systems, n_bodies_range)
+        n_slots = int(n_bodies_range[1])
+        m, q, v, mask = generate_population(
+            self._split(), counts, n_slots=n_slots, **self._params())
+        m, q, v = np.asarray(m), np.asarray(q), np.asarray(v)
+        counts = np.asarray(counts)
+        return [(m[i, :n], q[i, :n], v[i, :n])
+                for i, n in enumerate(counts)]
+
+    def generate_batch_arrays(self, n_systems: int,
+                              n_bodies_range: Tuple[int, int] = (3, 5),
+                              n_slots: int | None = None):
+        """Padded+masked (B, N, d) arrays for the batched engine."""
+        k_n = self._split()
+        counts = sample_body_counts(k_n, n_systems, n_bodies_range)
+        slots = int(n_slots or n_bodies_range[1])
+        return generate_population(self._split(), counts, n_slots=slots,
+                                   **self._params())
 
     def create_simulation(self, n_bodies: int, *, integrator_mode=None,
-                          adaptive_softening=None) -> NBodySimulation:
-        m, p, v = self.generate_single(n_bodies)
-        kwargs: Dict = dict(masses=m, positions=p, velocities=v,
+                          adaptive_softening=None):
+        from ..facade.simulation import NBodySimulation
+
+        m, q, v = self.generate_single(n_bodies)
+        kwargs: Dict = dict(masses=m, positions=q, velocities=v,
                             G=self.config.G, softening=self.config.softening)
         if self.sim_config is not None:
             kwargs["config"] = self.sim_config
@@ -117,32 +237,34 @@ class InitialConditionGenerator:
         return NBodySimulation(**kwargs)
 
     def validate_system(self, masses, positions, velocities) -> Dict[str, float]:
-        from ..diagnostics.metrics import Diagnostics
+        """Energy/virial/momentum report, computed directly on the
+        arrays (no sim construction; the COM velocity is projected out
+        first, as facade construction would)."""
+        m = jnp.asarray(masses, jnp.float64)
+        q = jnp.asarray(positions, jnp.float64)
+        mask = jnp.ones(m.shape, bool)
+        v = com_momentum_projection(m, jnp.asarray(velocities, jnp.float64),
+                                    mask)
+        G, eps = self.config.G, self.config.softening
 
-        sim = NBodySimulation(masses=masses, positions=positions,
-                              velocities=velocities, G=self.config.G,
-                              softening=self.config.softening)
-        diag = Diagnostics(sim)
-        KE = diag.kinetic_energy()
-        PE = diag.potential_energy()
+        KE = float(0.5 * jnp.sum(m[:, None] * v * v))
+        diff = q[:, None, :] - q[None, :, :]
+        r2 = jnp.sum(diff * diff, axis=-1)
+        iu = jnp.triu_indices(m.shape[0], 1)
+        PE = float(-G * jnp.sum((m[:, None] * m[None, :])[iu]
+                                / jnp.sqrt(r2[iu] + eps * eps)))
         E_tot = KE + PE
-        virial = 2 * KE / abs(PE) if PE else np.inf
-        L = diag.angular_momentum()
-        com_pos, com_vel = diag.center_of_mass()
+        L = float(jnp.sum(m * (q[:, 0] * v[:, 1] - q[:, 1] * v[:, 0])))
+        M = float(jnp.sum(m))
+        com_q = np.asarray(jnp.sum(m[:, None] * q, axis=0) / max(M, _TINY))
+        com_v = np.asarray(jnp.sum(m[:, None] * v, axis=0) / max(M, _TINY))
         return {
             "kinetic_energy": KE,
             "potential_energy": PE,
             "total_energy": E_tot,
-            "virial_ratio": virial,
+            "virial_ratio": (2.0 * KE / abs(PE)) if PE else float("inf"),
             "angular_momentum": L,
-            "com_position": float(np.linalg.norm(com_pos)),
-            "com_velocity": float(np.linalg.norm(com_vel)),
+            "com_position": float(np.linalg.norm(com_q)),
+            "com_velocity": float(np.linalg.norm(com_v)),
             "is_bound": bool(E_tot < 0),
         }
-
-
-def _remove_com_velocity(m, vel):
-    M = m.sum()
-    if M <= 0:
-        return vel
-    return vel - (m[:, None] * vel).sum(0) / M

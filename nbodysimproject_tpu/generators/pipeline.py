@@ -1,23 +1,30 @@
 """ML dataset orchestration.
 
-Parity: ``minbody/ml_training_pipeline.py:30-235`` (MLTrainingPipeline):
-the four diverse cohorts with the reference's exact mixture (40% random
-— alternating log-mass, 30% hierarchical triples with velocity noise,
+Capability parity: ``minbody/ml_training_pipeline.py:30-235``
+(MLTrainingPipeline) — the four-cohort diverse mixture (40% random with
+alternating log-mass, 30% hierarchical triples with velocity noise,
 20% rotating polygons, remainder close encounters), the focused
 boundary/stable/unstable datasets, and ``quick_test_pipeline``.
 
-The systems are generated host-side (cheap) and analysed by the
-batched TPU analyzer, replacing the reference's serial loop.
+TPU-first: the whole population is drawn device-side by ONE jitted
+program per cohort (``diverse_population``) from a single jax PRNG key,
+then analysed by the batched analyzer — no per-system host work.  The
+reference's per-system generator loop (ml_training_pipeline.py:44-122)
+survives only as the thin sim-list view ``generate_diverse_dataset``.
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .ic_generator import InitialConditionGenerator, GeneratorConfig
-from .specialized import SpecializedGenerators
+from .ic_generator import (InitialConditionGenerator, GeneratorConfig,
+                           generate_population, sample_body_counts)
+from .specialized import (SpecializedGenerators, hierarchical_triple_batch,
+                          polygon_batch)
 from ..analysis.stability import StabilityAnalyzer
 from ..analysis.batch import BatchStabilityAnalyzer
 from ..core.config import SimConfig
@@ -33,149 +40,151 @@ from ..utils.seeding import set_global_seed
 _PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True)
 NBodySimulation = functools.partial(_NBodySimulation, config=_PIPE_CFG)
 
+#: cohort mixture of the reference pipeline (ml_training_pipeline.py:39-135)
+COHORT_FRACTIONS = {"random": 0.4, "hierarchical": 0.3, "polygon": 0.2}
+
+
+def cohort_sizes(n_systems: int) -> dict:
+    n_random = int(COHORT_FRACTIONS["random"] * n_systems)
+    n_hier = int(COHORT_FRACTIONS["hierarchical"] * n_systems)
+    n_poly = int(COHORT_FRACTIONS["polygon"] * n_systems)
+    return {"random": n_random, "hierarchical": n_hier, "polygon": n_poly,
+            "close_encounter": n_systems - n_random - n_hier - n_poly}
+
+
+def diverse_population(key, n_systems: int, *, n_slots: int = 8,
+                       dtype=jnp.float32):
+    """Draw the four-cohort diverse population as (B, N, d) arrays.
+
+    Returns (mass, pos, vel, mask, softening, types): padded+masked
+    arrays, the per-system force softening, and the cohort tag list.
+    Hyperparameter distributions follow the reference mixture:
+
+    * random (40%): n in [3,5], log-mass on alternating systems,
+      position scale U(0.5,2), virial fraction U(0.8,1.2),
+      perturbation U(0.05,0.2), softening U(0.001,0.1);
+    * hierarchical (30%): mass ratios U(0.1,1) / U(0.1,2), separation
+      U(3,50), Gaussian velocity noise 0.05, softening 0.01;
+    * polygon (20%): n in [3,7], radius U(0.5,3), rotation U(0,1),
+      softening 0.05;
+    * close encounter (rest): n in [3,4], scale 0.1, virial 1.5,
+      perturbation 0.3, softening 0.001.
+    """
+    sizes = cohort_sizes(n_systems)
+    k_rand, k_hier, k_poly, k_close = jax.random.split(key, 4)
+    parts = []
+
+    # -- random cohort --------------------------------------------------
+    B = sizes["random"]
+    if B:
+        k_n, k_hp, k_gen = jax.random.split(k_rand, 3)
+        hp = jax.random.uniform(k_hp, (4, B), dtype)
+        soft = 0.001 + hp[3] * (0.1 - 0.001)
+        m, q, v, mask = generate_population(
+            k_gen, sample_body_counts(k_n, B, (3, 5)), n_slots=n_slots,
+            log_mass=(jnp.arange(B) % 2 == 0),
+            position_scale=0.5 + hp[0] * 1.5,
+            virial_fraction=0.8 + hp[1] * 0.4,
+            perturbation=0.05 + hp[2] * 0.15,
+            softening=soft, dtype=dtype)
+        parts.append((m, q, v, mask, soft, "random"))
+
+    # -- hierarchical cohort --------------------------------------------
+    B = sizes["hierarchical"]
+    if B:
+        k_hp, k_noise = jax.random.split(k_hier)
+        hp = jax.random.uniform(k_hp, (3, B), dtype)
+        m, q, v, mask = hierarchical_triple_batch(
+            0.1 + hp[0] * 0.9, 0.1 + hp[1] * 1.9, 3.0 + hp[2] * 47.0,
+            n_slots=n_slots, dtype=dtype)
+        v = v + jax.random.normal(k_noise, v.shape, dtype) * 0.05
+        v = jnp.where(mask[..., None], v, 0.0)
+        parts.append((m, q, v, mask, jnp.full((B,), 0.01, dtype),
+                      "hierarchical"))
+
+    # -- polygon cohort ---------------------------------------------------
+    B = sizes["polygon"]
+    if B:
+        k_n, k_hp = jax.random.split(k_poly)
+        hp = jax.random.uniform(k_hp, (2, B), dtype)
+        m, q, v, mask = polygon_batch(
+            jax.random.randint(k_n, (B,), 3, 8), 0.5 + hp[0] * 2.5,
+            hp[1], n_slots=n_slots, dtype=dtype)
+        parts.append((m, q, v, mask, jnp.full((B,), 0.05, dtype), "polygon"))
+
+    # -- close-encounter cohort -------------------------------------------
+    B = sizes["close_encounter"]
+    if B:
+        k_n, k_gen = jax.random.split(k_close)
+        m, q, v, mask = generate_population(
+            k_gen, sample_body_counts(k_n, B, (3, 4)), n_slots=n_slots,
+            position_scale=0.1, virial_fraction=1.5, perturbation=0.3,
+            softening=0.001, dtype=dtype)
+        parts.append((m, q, v, mask, jnp.full((B,), 0.001, dtype),
+                      "close_encounter"))
+
+    mass = jnp.concatenate([p[0] for p in parts])
+    pos = jnp.concatenate([p[1] for p in parts])
+    vel = jnp.concatenate([p[2] for p in parts])
+    mask = jnp.concatenate([p[3] for p in parts])
+    soft = jnp.concatenate([p[4] for p in parts])
+    types = sum(([p[5]] * p[0].shape[0] for p in parts), [])
+    return mass, pos, vel, mask, soft, types
+
 
 class MLTrainingPipeline:
     def __init__(self, n_systems: int = 1000, n_steps: int = 1000,
-                 dt: float = 0.01):
+                 dt: float = 0.01, seed: int = 0):
         self.n_systems = n_systems
         self.n_steps = max(500, min(2000, n_steps))
         self.dt = dt
+        self.seed = int(seed)
         self.ic_generator = InitialConditionGenerator(sim_config=_PIPE_CFG)
         self.batch_analyzer = BatchStabilityAnalyzer(
             n_steps=self.n_steps, dt=self.dt, mode="full")
 
+    def _population(self, dtype=jnp.float32):
+        return diverse_population(jax.random.PRNGKey(self.seed),
+                                  self.n_systems, n_slots=8, dtype=dtype)
+
     def generate_diverse_dataset(self):
-        print(f"Generating {self.n_systems} diverse N-body systems...")
-        simulations = []
+        """Sim-list view of the diverse mixture: the same device-drawn
+        population, analysed through the facade batch analyzer
+        (reference surface, ml_training_pipeline.py:39-135)."""
+        sizes = cohort_sizes(self.n_systems)
+        print(f"Generating {self.n_systems} diverse N-body systems "
+              f"({', '.join(f'{v} {k}' for k, v in sizes.items())})...")
+        mass, pos, vel, mask, soft, types = self._population()
+        mass, pos, vel = np.asarray(mass), np.asarray(pos), np.asarray(vel)
+        counts = np.asarray(mask.sum(1))
+        soft = np.asarray(soft)
 
-        n_random = int(0.4 * self.n_systems)
-        print(f"\n1. Generating {n_random} random systems...")
-        for i in range(n_random):
-            n_bodies = np.random.randint(3, 6)
-            config = GeneratorConfig(
-                mass_range=(0.1, 10.0),
-                use_log_mass=(i % 2 == 0),
-                position_scale=np.random.uniform(0.5, 2.0),
-                velocity_virial_fraction=np.random.uniform(0.8, 1.2),
-                velocity_perturbation=np.random.uniform(0.05, 0.2),
-                softening=np.random.uniform(0.001, 0.1),
-            )
-            simulations.append(
-                InitialConditionGenerator(config, sim_config=_PIPE_CFG).create_simulation(n_bodies))
-
-        n_hier = int(0.3 * self.n_systems)
-        print(f"2. Generating {n_hier} hierarchical systems...")
-        for _ in range(n_hier):
-            masses, positions, velocities = (
-                SpecializedGenerators.generate_hierarchical_triple(
-                    np.random.uniform(0.1, 1.0), np.random.uniform(0.1, 2.0),
-                    np.random.uniform(3, 50)))
-            velocities = velocities + np.random.randn(*velocities.shape) * 0.05
-            simulations.append(NBodySimulation(
-                masses=masses, positions=positions, velocities=velocities,
-                G=1.0, softening=0.01))
-
-        n_poly = int(0.2 * self.n_systems)
-        print(f"3. Generating {n_poly} polygon configurations...")
-        for _ in range(n_poly):
-            masses, positions, velocities = (
-                SpecializedGenerators.generate_equal_mass_polygon(
-                    np.random.randint(3, 8), np.random.uniform(0.5, 3.0),
-                    np.random.uniform(0, 1.0)))
-            simulations.append(NBodySimulation(
-                masses=masses, positions=positions, velocities=velocities,
-                G=1.0, softening=0.05))
-
-        n_close = self.n_systems - n_random - n_hier - n_poly
-        print(f"4. Generating {n_close} close encounter systems...")
-        for _ in range(n_close):
-            config = GeneratorConfig(position_scale=0.1,
-                                     velocity_virial_fraction=1.5,
-                                     velocity_perturbation=0.3,
-                                     softening=0.001)
-            simulations.append(InitialConditionGenerator(config, sim_config=_PIPE_CFG)
-                               .create_simulation(np.random.randint(3, 5)))
+        simulations = [
+            NBodySimulation(masses=mass[i, :n], positions=pos[i, :n],
+                            velocities=vel[i, :n], G=1.0,
+                            softening=float(soft[i]))
+            for i, n in enumerate(counts)]
 
         print(f"\nAnalyzing {len(simulations)} systems...")
         results_df = self.batch_analyzer.analyze_batch(simulations,
                                                        show_progress=True)
-        results_df["system_type"] = (
-            ["random"] * n_random + ["hierarchical"] * n_hier
-            + ["polygon"] * n_poly + ["close_encounter"] * n_close)
+        results_df["system_type"] = types
         return results_df
 
     def generate_diverse_dataset_batched(self):
-        """The same four cohorts as ``generate_diverse_dataset`` but
-        produced as (B, N, d) arrays and analysed by ONE batched
-        construction + analysis program (``analyze_population``) — the
-        path for 1e5-scale sweeps (BASELINE config #5)."""
+        """The same four cohorts produced as (B, N, d) arrays and
+        analysed by ONE batched construction + analysis program
+        (``analyze_population``) — the path for 1e5-scale sweeps
+        (BASELINE config #5)."""
         from ..analysis.batch import analyze_population
 
         print(f"Generating {self.n_systems} diverse N-body systems "
               f"(batched)...")
-        N_SLOTS = 8
-        rows_m, rows_q, rows_v, softs, types = [], [], [], [], []
-
-        def add(m, q, v, soft, tag):
-            n = len(m)
-            mm = np.zeros(N_SLOTS)
-            qq = np.zeros((N_SLOTS, 2))
-            vv = np.zeros((N_SLOTS, 2))
-            mm[:n] = m
-            qq[:n] = q
-            vv[:n] = v
-            rows_m.append(mm)
-            rows_q.append(qq)
-            rows_v.append(vv)
-            softs.append(soft)
-            types.append(tag)
-
-        n_random = int(0.4 * self.n_systems)
-        for i in range(n_random):
-            n_bodies = np.random.randint(3, 6)
-            config = GeneratorConfig(
-                mass_range=(0.1, 10.0), use_log_mass=(i % 2 == 0),
-                position_scale=np.random.uniform(0.5, 2.0),
-                velocity_virial_fraction=np.random.uniform(0.8, 1.2),
-                velocity_perturbation=np.random.uniform(0.05, 0.2),
-                softening=np.random.uniform(0.001, 0.1))
-            m, q, v = InitialConditionGenerator(config).generate_single(n_bodies)
-            add(m, q, v, config.softening, "random")
-
-        n_hier = int(0.3 * self.n_systems)
-        for _ in range(n_hier):
-            m, q, v = SpecializedGenerators.generate_hierarchical_triple(
-                np.random.uniform(0.1, 1.0), np.random.uniform(0.1, 2.0),
-                np.random.uniform(3, 50))
-            v = v + np.random.randn(*v.shape) * 0.05
-            add(m, q, v, 0.01, "hierarchical")
-
-        n_poly = int(0.2 * self.n_systems)
-        for _ in range(n_poly):
-            m, q, v = SpecializedGenerators.generate_equal_mass_polygon(
-                np.random.randint(3, 8), np.random.uniform(0.5, 3.0),
-                np.random.uniform(0, 1.0))
-            add(m, q, v, 0.05, "polygon")
-
-        n_close = self.n_systems - n_random - n_hier - n_poly
-        for _ in range(n_close):
-            config = GeneratorConfig(position_scale=0.1,
-                                     velocity_virial_fraction=1.5,
-                                     velocity_perturbation=0.3,
-                                     softening=0.001)
-            m, q, v = InitialConditionGenerator(config).generate_single(
-                np.random.randint(3, 5))
-            add(m, q, v, 0.001, "close_encounter")
-
-        mass = np.stack(rows_m)
-        pos = np.stack(rows_q)
-        vel = np.stack(rows_v)
-        mask = mass > 0
-
+        mass, pos, vel, mask, soft, types = self._population()
         df = analyze_population(
             mass, pos, vel, mask, _PIPE_CFG, G=1.0,
-            softening=np.asarray(softs), min_softening=0.0, dt=self.dt,
-            n_steps=self.n_steps, mode="full")
+            softening=np.asarray(soft), min_softening=0.0, dt=self.dt,
+            n_steps=self.n_steps, mode="full", seed=self.seed)
         df["system_type"] = types
         return df
 

@@ -1,16 +1,105 @@
 """Specialized deterministic configurations.
 
-Parity: ``minbody/specialized_generators.py`` —
+Capability parity: ``minbody/specialized_generators.py`` —
 ``generate_hierarchical_triple`` (:22-64) and
-``generate_equal_mass_polygon`` (:66-94).
+``generate_equal_mass_polygon`` (:66-94).  The closed-form
+constructions are the spec; in addition to the reference-shaped
+per-system staticmethods, batch-first jitted builders produce whole
+``(B, N, d)`` cohorts from ``(B,)`` parameter arrays for the dataset
+pipeline (SURVEY.md section 7.5).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from .ic_generator import com_momentum_projection
+
+
+# ----------------------------------------------------------------------
+# batch-first builders
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_slots", "dtype"))
+def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
+                              *, G=1.0, n_slots: int = 3,
+                              dtype=jnp.float64):
+    """(B,) parameter arrays -> (mass, pos, vel, mask) for a batch of
+    hierarchical triples: an inner circular binary of unit semi-major
+    axis plus an outer body at max(separation, 5) on a circular orbit
+    around the total mass, COM momentum projected out."""
+    r1 = jnp.asarray(mass_ratio1, dtype)
+    r2 = jnp.asarray(mass_ratio2, dtype)
+    sep = jnp.asarray(separation_ratio, dtype)
+    B = r1.shape[0]
+    Gb = jnp.broadcast_to(jnp.asarray(G, dtype), (B,))
+
+    m1 = jnp.ones((B,), dtype)
+    m2, m3 = r1, r2
+    m12 = m1 + m2
+    a_outer = jnp.maximum(sep, 5.0)
+
+    x1 = -m2 / m12
+    x2 = m1 / m12
+    v_inner = jnp.sqrt(Gb * m12)
+    vy1 = -m2 * v_inner / m12
+    vy2 = m1 * v_inner / m12
+    v_outer = jnp.sqrt(Gb * (m12 + m3) / a_outer)
+
+    zeros = jnp.zeros((B,), dtype)
+    mass = jnp.stack([m1, m2, m3], axis=1)
+    pos = jnp.stack([jnp.stack([x1, zeros], 1), jnp.stack([x2, zeros], 1),
+                     jnp.stack([a_outer, zeros], 1)], axis=1)
+    vel = jnp.stack([jnp.stack([zeros, vy1], 1), jnp.stack([zeros, vy2], 1),
+                     jnp.stack([zeros, v_outer], 1)], axis=1)
+
+    pad = n_slots - 3
+    if pad > 0:
+        mass = jnp.pad(mass, ((0, 0), (0, pad)))
+        pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)))
+        vel = jnp.pad(vel, ((0, 0), (0, pad), (0, 0)))
+    mask = jnp.arange(n_slots)[None, :] < 3
+    mask = jnp.broadcast_to(mask, (B, n_slots))
+    vel = jax.vmap(com_momentum_projection)(mass, vel, mask)
+    return mass, pos, vel, mask
+
+
+@partial(jax.jit, static_argnames=("n_slots", "dtype"))
+def polygon_batch(n_bodies, radius, rotation_fraction, *, G=1.0,
+                  n_slots: int = 8, dtype=jnp.float64):
+    """(B,) parameter arrays -> (mass, pos, vel, mask) for rotating
+    equal-mass polygons with per-system body counts (masked slots)."""
+    n = jnp.asarray(n_bodies, jnp.int32)
+    R = jnp.asarray(radius, dtype)
+    rot = jnp.asarray(rotation_fraction, dtype)
+    B = n.shape[0]
+    Gb = jnp.broadcast_to(jnp.asarray(G, dtype), (B,))
+
+    k = jnp.arange(n_slots, dtype=dtype)[None, :]
+    nf = n.astype(dtype)[:, None]
+    mask = jnp.arange(n_slots)[None, :] < n[:, None]
+    theta = 2.0 * jnp.pi * k / jnp.maximum(nf, 1.0)
+
+    mass = jnp.where(mask, jnp.ones((), dtype), 0.0)
+    pos = jnp.stack([R[:, None] * jnp.cos(theta),
+                     R[:, None] * jnp.sin(theta)], axis=-1)
+    v_scale = jnp.sqrt(Gb * nf[:, 0] / R) * rot
+    vel = jnp.stack([-v_scale[:, None] * jnp.sin(theta),
+                     v_scale[:, None] * jnp.cos(theta)], axis=-1)
+    pos = jnp.where(mask[..., None], pos, 0.0)
+    vel = jnp.where(mask[..., None], vel, 0.0)
+    vel = jax.vmap(com_momentum_projection)(mass, vel, mask)
+    return mass, pos, vel, mask
+
+
+# ----------------------------------------------------------------------
+# reference-shaped per-system surface
+# ----------------------------------------------------------------------
 
 class SpecializedGenerators:
     @staticmethod
@@ -19,27 +108,11 @@ class SpecializedGenerators:
         mass_ratio2: float = 0.5,
         separation_ratio: float = 10.0,
         G: float = 1.0,
-        *,
-        integrator_mode=None,
-        adaptive_softening=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        m1, m2, m3 = 1.0, mass_ratio1, mass_ratio2
-        masses = np.array([m1, m2, m3])
-
-        a_inner = 1.0
-        x1 = -m2 * a_inner / (m1 + m2)
-        x2 = m1 * a_inner / (m1 + m2)
-        a_outer = max(separation_ratio * a_inner, 5.0 * a_inner)
-        positions = np.array([[x1, 0.0], [x2, 0.0], [a_outer, 0.0]])
-
-        v_inner = np.sqrt(G * (m1 + m2) / a_inner)
-        vy1 = -m2 * v_inner / (m1 + m2)
-        vy2 = m1 * v_inner / (m1 + m2)
-        v_outer = np.sqrt(G * (m1 + m2 + m3) / a_outer)
-        velocities = np.array([[0.0, vy1], [0.0, vy2], [0.0, v_outer]])
-
-        velocities = _remove_com(masses, velocities)
-        return masses, positions, velocities
+        m, q, v, _ = hierarchical_triple_batch(
+            jnp.asarray([mass_ratio1]), jnp.asarray([mass_ratio2]),
+            jnp.asarray([separation_ratio]), G=G, n_slots=3)
+        return np.asarray(m[0]), np.asarray(q[0]), np.asarray(v[0])
 
     @staticmethod
     def generate_equal_mass_polygon(
@@ -47,21 +120,8 @@ class SpecializedGenerators:
         radius: float = 1.0,
         rotation_fraction: float = 0.5,
         G: float = 1.0,
-        *,
-        integrator_mode=None,
-        adaptive_softening=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        masses = np.ones(n_bodies)
-        angles = np.linspace(0.0, 2.0 * np.pi, n_bodies, endpoint=False)
-        positions = np.column_stack([radius * np.cos(angles),
-                                     radius * np.sin(angles)])
-        v_scale = np.sqrt(G * float(np.sum(masses)) / radius) * rotation_fraction
-        velocities = np.column_stack([-v_scale * np.sin(angles),
-                                      v_scale * np.cos(angles)])
-        velocities = _remove_com(masses, velocities)
-        return masses, positions, velocities
-
-
-def _remove_com(m, vel):
-    M = m.sum()
-    return vel - (m[:, None] * vel).sum(0) / M if M > 0 else vel
+        m, q, v, _ = polygon_batch(
+            jnp.asarray([n_bodies]), jnp.asarray([radius]),
+            jnp.asarray([rotation_fraction]), G=G, n_slots=int(n_bodies))
+        return np.asarray(m[0]), np.asarray(q[0]), np.asarray(v[0])

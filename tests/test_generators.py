@@ -1,0 +1,184 @@
+"""Batch-first generator tests: cohort statistics, momentum projection,
+masking, determinism (VERDICT round-1 item 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nbodysimproject_tpu as nb
+from nbodysimproject_tpu.generators.ic_generator import (
+    generate_population, sample_body_counts, com_momentum_projection)
+from nbodysimproject_tpu.generators.specialized import (
+    hierarchical_triple_batch, polygon_batch)
+from nbodysimproject_tpu.generators.pipeline import (diverse_population,
+                                                     cohort_sizes)
+
+
+KEY = jax.random.PRNGKey(7)
+
+
+class TestGeneratePopulation:
+    def test_shapes_masks_and_padding(self):
+        counts = sample_body_counts(KEY, 64, (3, 5))
+        m, q, v, mask = generate_population(KEY, counts, n_slots=8)
+        assert m.shape == (64, 8) and q.shape == (64, 8, 2)
+        assert bool(jnp.all(mask.sum(1) == counts))
+        # padded slots are exactly zero
+        pad = ~mask
+        assert float(jnp.abs(jnp.where(pad, m, 0.0)).max()) == 0.0
+        assert float(jnp.abs(jnp.where(pad[..., None], q, 0.0)).max()) == 0.0
+        assert float(jnp.abs(jnp.where(pad[..., None], v, 0.0)).max()) == 0.0
+
+    def test_momentum_projected_exactly(self):
+        counts = sample_body_counts(KEY, 32, (3, 5))
+        m, q, v, mask = generate_population(KEY, counts, n_slots=8)
+        P = jnp.sum(m[..., None] * v, axis=1)
+        np.testing.assert_allclose(np.asarray(P), 0.0, atol=1e-12)
+
+    def test_mass_ranges_linear_and_log(self):
+        counts = jnp.full((128,), 5, jnp.int32)
+        m_lin, *_ = generate_population(KEY, counts, n_slots=5,
+                                        mass_lo=0.5, mass_hi=2.0,
+                                        log_mass=False)
+        m_log, *_ = generate_population(KEY, counts, n_slots=5,
+                                        mass_lo=0.5, mass_hi=2.0,
+                                        log_mass=True)
+        for m in (m_lin, m_log):
+            assert float(m.min()) >= 0.5 - 1e-12
+            assert float(m.max()) <= 2.0 + 1e-12
+        # log-uniform median ~ geometric mean (1.0) < linear median (1.25)
+        assert float(jnp.median(m_log)) < float(jnp.median(m_lin))
+
+    def test_virial_ratio_statistics(self):
+        """With perturbation 0 the kinetic energy hits the virial target
+        (in the generator's r+eps energy convention) up to the COM
+        projection loss."""
+        counts = jnp.full((256,), 5, jnp.int32)
+        m, q, v, mask = generate_population(
+            KEY, counts, n_slots=5, virial_fraction=1.0, perturbation=0.0,
+            softening=0.01)
+
+        def ratio(m1, q1, v1):
+            K = 0.5 * jnp.sum(m1[:, None] * v1 * v1)
+            d = q1[:, None, :] - q1[None, :, :]
+            r = jnp.sqrt(jnp.sum(d * d, -1)) + 0.01
+            iu = jnp.triu_indices(5, 1)
+            U = -jnp.sum((m1[:, None] * m1[None, :])[iu] / r[iu])
+            return 2.0 * K / jnp.abs(U)
+
+        ratios = np.asarray(jax.vmap(ratio)(m, q, v))
+        # per-system: never above the target; population mean close to it
+        assert (ratios <= 1.0 + 1e-6).all()
+        assert 0.6 < ratios.mean() < 1.0
+
+    def test_per_system_hyperparameters(self):
+        counts = jnp.full((64,), 4, jnp.int32)
+        scales = jnp.concatenate([jnp.full((32,), 0.1),
+                                  jnp.full((32,), 10.0)])
+        _, q, _, _ = generate_population(KEY, counts, n_slots=4,
+                                         position_scale=scales)
+        r_small = float(jnp.abs(q[:32]).max())
+        r_big = float(jnp.abs(q[32:]).std())
+        assert r_small < 1.0 and r_big > 1.0
+
+    def test_deterministic_per_key(self):
+        counts = sample_body_counts(KEY, 16, (3, 5))
+        a = generate_population(KEY, counts, n_slots=8)
+        b = generate_population(KEY, counts, n_slots=8)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestSpecializedBatch:
+    def test_hierarchical_triple_batch_geometry(self):
+        r1 = jnp.asarray([0.5, 1.0])
+        r2 = jnp.asarray([0.3, 2.0])
+        sep = jnp.asarray([10.0, 2.0])  # second clamps to 5.0
+        m, q, v, mask = hierarchical_triple_batch(r1, r2, sep, n_slots=4)
+        assert bool(jnp.all(mask.sum(1) == 3))
+        # inner binary separation is exactly the unit semi-major axis
+        np.testing.assert_allclose(np.asarray(q[:, 1, 0] - q[:, 0, 0]), 1.0,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(q[:, 2, 0]), [10.0, 5.0],
+                                   rtol=1e-12)
+        P = jnp.sum(m[..., None] * v, axis=1)
+        np.testing.assert_allclose(np.asarray(P), 0.0, atol=1e-12)
+
+    def test_polygon_batch_masked_counts(self):
+        n = jnp.asarray([3, 5, 7])
+        m, q, v, mask = polygon_batch(n, jnp.asarray([1.0, 2.0, 0.5]),
+                                      jnp.asarray([0.5, 0.0, 1.0]),
+                                      n_slots=8)
+        assert bool(jnp.all(mask.sum(1) == n))
+        radii = jnp.sqrt(jnp.sum(q * q, -1))
+        for i, (ni, Ri) in enumerate(zip([3, 5, 7], [1.0, 2.0, 0.5])):
+            np.testing.assert_allclose(np.asarray(radii[i, :ni]), Ri,
+                                       rtol=1e-6)
+        # zero rotation -> zero velocity (row 1)
+        assert float(jnp.abs(v[1]).max()) < 1e-12
+
+    def test_per_system_staticmethods_match_batch(self):
+        m, p, v = nb.SpecializedGenerators.generate_hierarchical_triple(
+            0.7, 0.4, 12.0)
+        mb, pb, vb, _ = hierarchical_triple_batch(
+            jnp.asarray([0.7]), jnp.asarray([0.4]), jnp.asarray([12.0]),
+            n_slots=3)
+        np.testing.assert_allclose(m, np.asarray(mb[0]), rtol=1e-12)
+        np.testing.assert_allclose(p, np.asarray(pb[0]), rtol=1e-12)
+        np.testing.assert_allclose(v, np.asarray(vb[0]), rtol=1e-12)
+
+
+class TestDiversePopulation:
+    def test_cohort_mixture_and_shapes(self):
+        mass, pos, vel, mask, soft, types = diverse_population(
+            KEY, 100, n_slots=8)
+        sizes = cohort_sizes(100)
+        assert mass.shape == (100, 8)
+        assert len(types) == 100
+        for tag, n in sizes.items():
+            assert types.count(tag) == n
+        # per-cohort softening conventions
+        t = np.asarray(types)
+        s = np.asarray(soft)
+        assert np.allclose(s[t == "hierarchical"], 0.01)
+        assert np.allclose(s[t == "polygon"], 0.05)
+        assert np.allclose(s[t == "close_encounter"], 0.001)
+        assert (s[t == "random"] >= 0.001 - 1e-9).all()
+        assert (s[t == "random"] <= 0.1 + 1e-9).all()
+
+    def test_body_count_ranges_per_cohort(self):
+        mass, pos, vel, mask, soft, types = diverse_population(
+            KEY, 200, n_slots=8)
+        counts = np.asarray(mask.sum(1))
+        t = np.asarray(types)
+        assert set(counts[t == "random"]) <= {3, 4, 5}
+        assert (counts[t == "hierarchical"] == 3).all()
+        assert set(counts[t == "polygon"]) <= {3, 4, 5, 6, 7}
+        assert set(counts[t == "close_encounter"]) <= {3, 4}
+
+
+class TestFacade:
+    def test_generate_single_and_create_simulation(self):
+        gen = nb.InitialConditionGenerator(nb.GeneratorConfig(seed=3))
+        m, q, v = gen.generate_single(4)
+        assert m.shape == (4,) and q.shape == (4, 2) and v.shape == (4, 2)
+        assert (m > 0).all()
+        sim = gen.create_simulation(3)
+        assert sim.n_bodies == 3
+
+    def test_seeded_generator_reproducible(self):
+        g1 = nb.InitialConditionGenerator(nb.GeneratorConfig(seed=11))
+        g2 = nb.InitialConditionGenerator(nb.GeneratorConfig(seed=11))
+        for a, b in zip(g1.generate_single(5), g2.generate_single(5)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_validate_system_report(self):
+        gen = nb.InitialConditionGenerator(nb.GeneratorConfig(seed=5))
+        m, q, v = gen.generate_single(4)
+        rep = gen.validate_system(m, q, v)
+        assert set(rep) >= {"kinetic_energy", "potential_energy",
+                            "total_energy", "virial_ratio",
+                            "angular_momentum", "com_velocity", "is_bound"}
+        assert rep["com_velocity"] == pytest.approx(0.0, abs=1e-12)
+        assert rep["kinetic_energy"] > 0
