@@ -95,9 +95,69 @@ def _features_batch_jit(states, dyns, cfg):
     return jax.vmap(lambda s, d: F.extract_all(s, d, cfg))(states, dyns)
 
 
+#: substep-count bucket ladder (~1.5x steps; 1..4 exact because most
+#: populations concentrate there)
+_BUCKET_LADDER = np.asarray([1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64,
+                             96, 128, 192, 256, 384, 512, 768, 1024])
+
+
+def _bucket_ladder_values(n_subs: np.ndarray) -> np.ndarray:
+    """Round each n_sub up to the next ladder value (exact above the
+    ladder's top, which no realistic split_n_max reaches)."""
+    n = np.maximum(np.asarray(n_subs, np.int64), 1)
+    idx = np.searchsorted(_BUCKET_LADDER, n, side="left")
+    out = np.where(idx < len(_BUCKET_LADDER),
+                   _BUCKET_LADDER[np.minimum(idx, len(_BUCKET_LADDER) - 1)],
+                   n)
+    return out
+
+
+def serialize_ic_columns(mass, pos, vel, mask, *, G, softening,
+                         min_softening, cfg) -> dict:
+    """Per-body IC columns + sim metadata for a batched population —
+    the vectorised counterpart of ``StabilityAnalyzer.serialize_to_dict``
+    (minbody/stability_analyzer.py:521-561): columns n_bodies, G,
+    softening, min_softening, adaptive, integrator_mode, then mass_i,
+    x_i, y_i, vx_i, vy_i per body slot (NaN on masked slots, matching
+    the ragged-union semantics of a concatenated reference frame)."""
+    mass = np.asarray(mass)
+    pos = np.asarray(pos)
+    vel = np.asarray(vel)
+    mask = np.asarray(mask)
+    B, n_slots = mass.shape
+    d = pos.shape[-1]
+    axis_names = ("x", "y", "z")[:d]
+
+    out = {
+        "n_bodies": mask.sum(1).astype(np.int64),
+        "G": np.broadcast_to(np.asarray(G, np.float64), (B,)).copy(),
+        "softening": np.broadcast_to(np.asarray(softening, np.float64),
+                                     (B,)).copy(),
+        "min_softening": np.broadcast_to(np.asarray(min_softening,
+                                                    np.float64), (B,)).copy(),
+        "adaptive": np.full(B, float(cfg.adaptive_softening
+                                     or cfg.integrator_mode == "ham_soft")),
+        "integrator_mode": np.full(B, cfg.integrator_mode, dtype=object),
+    }
+    nan = np.nan
+    for i in range(n_slots):
+        valid = mask[:, i]
+        out[f"mass_{i}"] = np.where(valid, mass[:, i], nan)
+    for i in range(n_slots):
+        valid = mask[:, i]
+        for a, name in enumerate(axis_names):
+            out[f"{name}_{i}"] = np.where(valid, pos[:, i, a], nan)
+    for i in range(n_slots):
+        valid = mask[:, i]
+        for a, name in enumerate(axis_names):
+            out[f"v{name}_{i}"] = np.where(valid, vel[:, i, a], nan)
+    return out
+
+
 def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                        min_softening=0.0, dt=0.01, n_steps=1000,
-                       mode="core", seed=0, show_progress=True):
+                       mode="core", seed=0, show_progress=True,
+                       include_ics=True):
     """Fully-batched population analysis: ONE construction program and
     ONE analysis program for (B, N, d) arrays — no per-system host
     work.  This is the path that makes the 1e5-system sweep of
@@ -106,7 +166,10 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
 
     ``softening`` / ``G`` / ``min_softening`` may be scalars or (B,)
     arrays.  Returns a pandas DataFrame shaped like
-    ``BatchStabilityAnalyzer.analyze_batch``'s.
+    ``BatchStabilityAnalyzer.analyze_batch``'s, prefixed (when
+    ``include_ics``) with the reference's serialize_to_dict schema:
+    per-body IC columns and sim metadata
+    (minbody/stability_analyzer.py:521-561).
     """
     import pandas as pd
 
@@ -141,11 +204,14 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
 
     # --- n_sub bucketing: in a masked batch every system pays the
-    # group's max substep count, so split the population into
-    # power-of-two n_sub buckets (typical populations are dominated by
-    # n_sub <= 2 with a pathological tail at split_n_max) -------------
+    # group's max substep count, so split the population into n_sub
+    # buckets (typical populations are dominated by n_sub <= 2 with a
+    # pathological tail at split_n_max).  The ladder steps by ~1.5x —
+    # finer than the round-1 power-of-two ladder, which wasted up to 2x
+    # substeps on systems just above a boundary (VERDICT round-1
+    # item 3c) — at the price of a few more compiled programs.
     n_subs = np.asarray(jax.device_get(dyns.n_sub))
-    buckets = 1 << np.ceil(np.log2(np.maximum(n_subs, 1))).astype(int)
+    buckets = _bucket_ladder_values(n_subs)
     res_rows = {}
     feats_rows = {}
     for b in np.unique(buckets):
@@ -172,7 +238,13 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                 feats_rows.setdefault(f"initial_{k}",
                                       np.zeros(B, v.dtype))[idx] = v
 
-    res_np = dict(res_rows)
+    res_np = {}
+    if include_ics:
+        res_np.update(serialize_ic_columns(
+            mass, pos, vel, np.asarray(jax.device_get(mask)), G=G,
+            softening=jax.device_get(softening), min_softening=min_softening,
+            cfg=cfg))
+    res_np.update(res_rows)
     res_np.update(feats_rows)
     df = pd.DataFrame(res_np)
     df["mode"] = mode

@@ -36,8 +36,35 @@ _SOLVE_HI_MAX_ITER = 8
 _SOLVE_HI_TOL = 1.0e-6
 
 
-def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None):
-    """Fixed-point solve for per-particle smoothing lengths h_i.
+def _geometry(q, mask):
+    """(diff, r2, pm): pairwise geometry, hoisted out of the h_i
+    iteration (loop-invariant; recomputing it per iteration costs an
+    (N, N, d) product 8x over)."""
+    diff = q[:, None, :] - q[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    pm = pair_mask(q.shape[0], mask).astype(q.dtype)
+    return diff, r2, pm
+
+
+def _kernel_at(r2, pm, m, h):
+    """(W, Sigma, hj) at smoothing lengths h for precomputed geometry
+    (gather form: row i uses h_i)."""
+    hj = jnp.maximum(h, 1.0e-12)
+    c = 1.0 / (math.pi * hj * hj)
+    W = c[:, None] * jnp.exp(-r2 / (hj * hj)[:, None]) * pm
+    return W, W @ m, hj
+
+
+def _sigma_terms(q, m, h, mask):
+    """(W, Sigma, diff, hj) — one-shot variant for callers outside the
+    iteration."""
+    diff, r2, pm = _geometry(q, mask)
+    W, Sig, hj = _kernel_at(r2, pm, m, h)
+    return W, Sig, diff, hj
+
+
+def _solve_hi_fwd_only(q, m, h0, eps_floor, eps_cap, eta, mask):
+    """The primal fixed-point iteration (no AD through it).
 
     Mirrors minbody/hamsoft_eps_model.py:316-400: h initialised to the
     (clipped) current epsilon, <= 8 iterations with global early stop at
@@ -49,22 +76,14 @@ def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None):
     n = q.shape[0]
     dt = q.dtype
 
-    diff = q[:, None, :] - q[None, :, :]
-    r2 = jnp.sum(diff * diff, axis=-1)
-    pm = pair_mask(n, mask).astype(dt)
-
     h0c = jnp.clip(h0, eps_floor, eps_cap)
     h_init = jnp.full((n,), 1.0, dt) * h0c
-
-    def sigma(h):
-        hj = jnp.maximum(h, 1.0e-12)  # per-i smoothing (gather kernel)
-        c = 1.0 / (math.pi * hj * hj)
-        w = c[:, None] * jnp.exp(-r2 / (hj * hj)[:, None]) * pm
-        return w @ m
+    _, r2, pm = _geometry(q, mask)
 
     def body(carry, _):
         h, done = carry
-        Si = jnp.maximum(sigma(h), 1.0e-30)
+        _, Sig, _ = _kernel_at(r2, pm, m, h)
+        Si = jnp.maximum(Sig, 1.0e-30)
         h_new = eta * jnp.sqrt(m / Si)
         h_new = jnp.where(jnp.isfinite(h_new) & (h_new > 0.0), h_new, h)
         h_new = jnp.clip(h_new, eps_floor, eps_cap)
@@ -79,6 +98,108 @@ def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None):
     (h, _), _ = jax.lax.scan(body, (h_init, done0), None,
                              length=_SOLVE_HI_MAX_ITER)
     return h
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _solve_hi_ift(q, m, h0, eps_floor, eps_cap, eta, mask):
+    return _solve_hi_fwd_only(q, m, h0, eps_floor, eps_cap, eta, mask)
+
+
+def _solve_hi_ift_fwd(q, m, h0, eps_floor, eps_cap, eta, mask):
+    h = _solve_hi_fwd_only(q, m, h0, eps_floor, eps_cap, eta, mask)
+    return h, (q, m, h, eps_floor, eps_cap, mask)
+
+
+def _solve_hi_ift_bwd(eta, res, w):
+    """Implicit-function-theorem VJP at the fixed point (VERDICT
+    round-1 item 3a; ROADMAP item 2).
+
+    The map G_i(h, q, m) = eta sqrt(m_i / Sigma_i(h_i, q, m)) couples
+    h only through the particle's OWN smoothing length (the reference's
+    gather-form kernel, hamsoft_eps_model.py:345-356), so the
+    fixed-point Jacobian is diagonal and (I - dG/dh)^{-1} is exactly
+    the SPH Omega factor:
+
+        Omega_i = 1 + h_i * dSigma_i/dh_i / (2 Sigma_i)
+        dh_i/dtheta = (1/Omega_i) dG_i/dtheta     (theta in {q, m})
+
+    zeroed on lanes where the bound clamp saturates (where the
+    reference's central-difference gradient is also exactly zero,
+    because clip kills the variation).  This replaces reverse-mode
+    through the 8 unrolled iterations with ONE fused O(N^2) kernel and
+    no stored iteration residuals.
+    """
+    q, m, h, eps_floor, eps_cap, mask = res
+    dt = q.dtype
+
+    W, Sig, diff, hj = _sigma_terms(q, m, h, mask)
+    Sigma = jnp.maximum(Sig, 1.0e-30)
+    dWh = W * (-2.0 / hj[:, None] + 2.0 * (jnp.sum(diff * diff, -1)
+                                           / (hj ** 3)[:, None]))
+    Sd = dWh @ m
+    Omega = 1.0 + hj * Sd / (2.0 * Sigma)
+    Omega = jnp.where(jnp.isfinite(Omega) & (Omega != 0.0), Omega, 1.0)
+
+    # clamp saturation: the unclipped update would leave [floor, cap]
+    h_raw = eta * jnp.sqrt(m / Sigma)
+    h_raw = jnp.where(jnp.isfinite(h_raw) & (h_raw > 0.0), h_raw, h)
+    tol = 1.0e-10 * jnp.maximum(hj, 1.0)
+    saturated = (h_raw < eps_floor - tol) | (h_raw > eps_cap + tol)
+    if mask is not None:
+        saturated = saturated | ~mask
+
+    u = jnp.where(saturated, 0.0, w / Omega)
+
+    # dG_i/dq through Sigma_i:  s_i = u_i * (-h_i / (2 Sigma_i))
+    s = u * (-hj / (2.0 * Sigma))
+    coef = (-2.0 * W / (hj * hj)[:, None]) * (s[:, None] * m[None, :])
+    A = coef[..., None] * diff
+    g_q = jnp.sum(A, axis=1) - jnp.sum(A, axis=0)
+    g_q = jnp.where(jnp.isfinite(g_q), g_q, 0.0)
+    if mask is not None:
+        g_q = g_q * mask[:, None].astype(dt)
+
+    # dG_i/dm: direct sqrt(m_i) term + Sigma_i's linearity in m_j
+    g_m_direct = u * hj / (2.0 * jnp.maximum(m, 1.0e-300))
+    g_m_sigma = (s[:, None] * W).sum(axis=0)
+    g_m = jnp.where(jnp.isfinite(g_m_direct), g_m_direct, 0.0) + g_m_sigma
+    if mask is not None:
+        g_m = g_m * mask.astype(dt)
+
+    zero = jnp.zeros((), dt)
+    return (g_q, g_m, zero, zero, zero, None)
+
+
+_solve_hi_ift.defvjp(_solve_hi_ift_fwd, _solve_hi_ift_bwd)
+
+
+def solve_hi(q, m, *, h0, eps_floor, eps_cap, eta: float = 1.35, mask=None,
+             grad_impl: str = "unrolled"):
+    """Fixed-point solve for per-particle smoothing lengths h_i.
+
+    ``grad_impl`` selects how reverse-mode AD treats the iteration:
+
+    * ``'unrolled'`` (default): differentiate through the 8 iterations.
+      This is the exact gradient of the eps* value actually used in the
+      extended Hamiltonian, and it matches the reference's
+      central-difference gradient by construction.  IMPORTANT: for
+      sparse few-body systems the SPH fixed point typically does NOT
+      converge in 8 iterations — h_i drifts toward the cap with a
+      contraction factor ~0.98-1.0 (measured; see the round-2 test
+      ``test_ift_vs_unrolled``) — so the truncated map IS the model,
+      not an approximation of its fixed point.
+    * ``'ift'``: implicit-function-theorem custom_vjp at the fixed
+      point — ONE fused backward kernel instead of 8, valid when the
+      solve converges (clustered systems, large N).  At a truncated
+      (non-converged) point it returns the fixed-point gradient, which
+      is neither the truncated map's gradient nor, generally, small —
+      do not use it where O(h^2) energy conservation of the truncated
+      Hamiltonian matters.
+    """
+    if grad_impl == "ift":
+        return _solve_hi_ift(q, jnp.asarray(m), h0, eps_floor, eps_cap,
+                             float(eta), mask)
+    return _solve_hi_fwd_only(q, m, h0, eps_floor, eps_cap, eta, mask)
 
 
 def softmin(h, alpha, mask=None):

@@ -285,3 +285,80 @@ class TestPolicies:
         new.run(0.01, 50)
         assert new._epsilon == pytest.approx(eps0)
         assert new._pi == pytest.approx(pi0)
+
+
+class TestSolveHiGradImpl:
+    """IFT custom_vjp vs unrolled reverse-mode for the h_i fixed point
+    (VERDICT round-1 item 3a).  Measured here and load-bearing for the
+    design decision: few-body systems do NOT converge in the 8
+    reference iterations (contraction ~0.98-1.0, h drifting to the
+    cap), so the truncated map is the model and 'unrolled' stays the
+    default; 'ift' agrees only where the solve converges."""
+
+    def test_ift_matches_unrolled_when_converged(self):
+        """Dense 16-body cluster: the solve converges by ~iteration 15
+        with contraction ~0.56; at 8 iterations the two gradients agree
+        to ~1%."""
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from nbodysimproject_tpu.ops import eps_model as em
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(0, 0.3, (16, 2)))
+        m = jnp.ones(16)
+
+        def eps_fn(q, impl):
+            h = em.solve_hi(q, m, h0=0.3, eps_floor=1e-6, eps_cap=100.0,
+                            grad_impl=impl)
+            return em.softmin(h, 0.1)
+
+        g_ift = jax.grad(partial(eps_fn, impl="ift"))(q)
+        g_unr = jax.grad(partial(eps_fn, impl="unrolled"))(q)
+        denom = float(jnp.max(jnp.abs(g_unr)))
+        assert float(jnp.max(jnp.abs(g_ift - g_unr))) / denom < 5e-2
+        cos = float(jnp.sum(g_ift * g_unr)
+                    / (jnp.linalg.norm(g_ift) * jnp.linalg.norm(g_unr)))
+        assert cos > 0.999
+
+    def test_unrolled_is_default_and_matches_fd(self):
+        """The default gradient is the truncated map's exact gradient
+        (= the reference's central-difference object)."""
+        from nbodysimproject_tpu.ops import eps_model as em
+
+        q = np.array([[0.0, 0.0], [0.25, 0.05], [0.1, 0.3]])
+        m = np.array([1.0, 0.5, 0.3])
+        kw = dict(h0=0.2, alpha=0.1, eps_min=1e-6, eps_max=100.0)
+        _es, grad = em.eps_star_and_grad(q, m, **kw)
+        h = 1e-6
+        fd = np.zeros_like(q)
+        for i in range(q.shape[0]):
+            for a in range(2):
+                qp = q.copy(); qp[i, a] += h
+                qm = q.copy(); qm[i, a] -= h
+                fd[i, a] = (float(em.eps_target_production(qp, m, **kw))
+                            - float(em.eps_target_production(qm, m, **kw))
+                            ) / (2 * h)
+        np.testing.assert_allclose(np.asarray(grad), fd, rtol=2e-4,
+                                   atol=1e-8)
+
+    def test_ift_zero_gradient_on_saturated_clamp(self):
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from nbodysimproject_tpu.ops import eps_model as em
+
+        q = jnp.asarray(np.random.default_rng(0).normal(0, 1, (5, 2)))
+        m = jnp.ones(5)
+
+        def eps_fn(q):
+            h = em.solve_hi(q, m, h0=0.05, eps_floor=1e-3, eps_cap=0.04,
+                            grad_impl="ift")
+            return em.softmin(h, 0.1)
+
+        g = jax.grad(eps_fn)(q)
+        assert float(jnp.abs(g).max()) == 0.0
