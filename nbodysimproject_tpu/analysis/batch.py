@@ -77,15 +77,18 @@ def _scheduled_dyn(sim, dt: float) -> DynParams:
     prev = getattr(sim, "_frozen_dt", None)
     if prev is None or prev <= 0.0 or abs(abs(dt) - prev) / prev > 0.01:
         dyn = refreeze_jit(sim._state, dyn, sim.cfg, sim._as_dtype(dt))
-    # Batch policy: cap the frozen substep count at split_n_max.  The
-    # reference leaves ham_soft's n_pred uncapped (HSI:504-551 chunks
-    # but runs them all), so one near-singular system can demand 1e4+
-    # substeps; in a masked batch every system would pay that cost.
-    # Such systems blow up regardless (the reference's own smoke test
-    # crashes on them) and get labelled pathological/unstable.
+    # Batch policy: cap the frozen substep count (the reference runs
+    # the full n_pred, HSI:504-551 — unbounded cost on near-singular
+    # systems; see cfg.analysis_n_sub_cap and the cap/label-agreement
+    # test in tests/test_distributed.py).
     dyn = dyn.replace(n_sub=jnp.minimum(
-        dyn.n_sub, jnp.asarray(int(sim.cfg.split_n_max), jnp.int32)))
+        dyn.n_sub, jnp.asarray(int(_n_sub_cap(sim.cfg)), jnp.int32)))
     return dyn
+
+
+def _n_sub_cap(cfg) -> int:
+    cap = int(getattr(cfg, "analysis_n_sub_cap", 0) or 0)
+    return cap if cap > 0 else int(cfg.split_n_max)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -157,7 +160,7 @@ def serialize_ic_columns(mass, pos, vel, mask, *, G, softening,
 def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                        min_softening=0.0, dt=0.01, n_steps=1000,
                        mode="core", seed=0, show_progress=True,
-                       include_ics=True):
+                       include_ics=True, id_offset=0):
     """Fully-batched population analysis: ONE construction program and
     ONE analysis program for (B, N, d) arrays — no per-system host
     work.  This is the path that makes the 1e5-system sweep of
@@ -193,15 +196,21 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             dyns.mu_soft, dyns.k_soft, jnp.asarray(abs(dt), dtype),
             jnp.asarray(cfg.theta_imp, dtype))
         dyns = dyns.replace(mu_soft=mu_new)
+    n_sub_raw = np.asarray(jax.device_get(dyns.n_sub))
     dyns = dyns.replace(n_sub=jnp.minimum(
-        dyns.n_sub, jnp.asarray(int(cfg.split_n_max), jnp.int32)))
+        dyns.n_sub, jnp.asarray(int(_n_sub_cap(cfg)), jnp.int32)))
 
     megno_steps = 0
     if mode == "full":
         n_samp = min(50, n_steps // 2)
         megno_steps = min(100, n_samp) if n_samp > 0 else 0
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    # per-system keys from the GLOBAL system id so a process-sharded
+    # run (parallel/distributed.py) reproduces the single-process
+    # MEGNO draws exactly
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 i))(
+        jnp.arange(id_offset, id_offset + B, dtype=jnp.uint32))
 
     # --- n_sub bucketing: in a masked batch every system pays the
     # group's max substep count, so split the population into n_sub
@@ -246,6 +255,11 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             cfg=cfg))
     res_np.update(res_rows)
     res_np.update(feats_rows)
+    # schedule transparency: the uncapped frozen substep demand and
+    # whether the cap bound (under-integrated systems can carry noisy
+    # labels; see cfg.analysis_n_sub_cap)
+    res_np["n_sub"] = n_sub_raw.astype(np.int64)
+    res_np["n_sub_capped"] = n_sub_raw > _n_sub_cap(cfg)
     df = pd.DataFrame(res_np)
     df["mode"] = mode
     bad = (~np.isfinite(df["energy_drift"])) | (df["energy_drift"].abs() > 10)

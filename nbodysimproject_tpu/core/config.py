@@ -98,6 +98,16 @@ class SimConfig:
     # exactly trajectory-neutral).  Populations with mixed body counts
     # then share one compiled program per bucket instead of one per N.
     slot_bucket: int = 1
+    # Batched-analysis cap on ham_soft's frozen substep count.  The
+    # reference runs the full n_pred (HSI:504-551) — unbounded cost on
+    # near-singular systems (measured p99.9 ~ 9e3 substeps/step on the
+    # diverse mixture).  0 = fall back to split_n_max (round-1
+    # behaviour).  Under-integrating a tight binary inflates its energy
+    # drift and can flip a would-be-stable label, so dataset pipelines
+    # raise this (256 covers ~98% of systems exactly at ~2x the
+    # capped-50 cost); the frame records n_sub/n_sub_capped for
+    # transparency.
+    analysis_n_sub_cap: int = 0
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

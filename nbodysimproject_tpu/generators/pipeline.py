@@ -37,7 +37,8 @@ from ..utils.seeding import set_global_seed
 # float32 fast path (float64 is software-emulated on TPU; the
 # stability verdict thresholds are at the 1e-2 level, far above f32
 # noise).
-_PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True)
+_PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True,
+                      analysis_n_sub_cap=256)
 NBodySimulation = functools.partial(_NBodySimulation, config=_PIPE_CFG)
 
 #: cohort mixture of the reference pipeline (ml_training_pipeline.py:39-135)

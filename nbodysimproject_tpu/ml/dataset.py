@@ -32,6 +32,9 @@ def _open_text(path: str):
 # proxy it; training on them is label leakage (VERDICT round-1 item 1).
 _PRE_INTEGRATION_EXACT = frozenset({
     "n_bodies", "G", "softening", "min_softening", "adaptive",
+    # schedule demand: a pure function of the ICs (frozen-schedule
+    # calibration), knowable before integrating
+    "n_sub", "n_sub_capped",
 })
 _PRE_INTEGRATION_PREFIXES = ("mass_", "x_", "y_", "z_",
                              "vx_", "vy_", "vz_", "initial_")

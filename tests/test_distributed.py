@@ -1,0 +1,176 @@
+"""Multi-host scale-out (VERDICT round-1 item 7): process-sharded
+dataset generation is deterministic across topologies, per-shard CSVs
+merge to the single-process frame, and a real 2-process CPU runtime
+produces identical statistics."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nbodysimproject_tpu.parallel.distributed import (
+    shard_bounds, generate_dataset_sharded, merge_shards,
+    feature_statistics, merge_statistics, statistics_summary)
+
+
+N_SYSTEMS = 12
+N_STEPS = 60
+
+
+class TestShardPartition:
+    def test_bounds_cover_and_disjoint(self):
+        for n, p in ((10, 3), (7, 7), (5, 8), (100, 4)):
+            spans = [shard_bounds(n, i, p) for i in range(p)]
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            for (a, b), (c, d) in zip(spans, spans[1:]):
+                assert b == c and a <= b and c <= d
+
+
+class TestShardedGeneration:
+    def test_union_of_shards_equals_single_process(self, tmp_path):
+        one = str(tmp_path / "one")
+        two = str(tmp_path / "two")
+        df_single, stats_single = generate_dataset_sharded(
+            seed=0, n_systems=N_SYSTEMS, out_dir=one, n_steps=N_STEPS,
+            process_index=0, process_count=1, reduce_stats=False,
+            show_progress=False)
+
+        stats_shards = []
+        for i in range(2):
+            _df, st = generate_dataset_sharded(
+                seed=0, n_systems=N_SYSTEMS, out_dir=two, n_steps=N_STEPS,
+                process_index=i, process_count=2, reduce_stats=False,
+                show_progress=False)
+            stats_shards.append(st)
+
+        merged = merge_shards(two)
+        ref = merge_shards(one)
+        assert list(merged.columns) == list(ref.columns)
+        from nbodysimproject_tpu.ml.dataset import is_pre_integration
+
+        num = [c for c in ref.columns
+               if pd.api.types.is_numeric_dtype(ref[c])]
+        # ICs and labels are exactly reproducible across topologies
+        ic_cols = [c for c in num if is_pre_integration(c)]
+        np.testing.assert_allclose(merged[ic_cols].to_numpy(np.float64),
+                                   ref[ic_cols].to_numpy(np.float64),
+                                   rtol=1e-6, atol=1e-9, equal_nan=True)
+        np.testing.assert_array_equal(merged["is_stable"].values,
+                                      ref["is_stable"].values)
+        # trajectory metrics agree up to XLA's batch-shape rounding
+        # (chaotic systems amplify 1-ulp differences; bitwise equality
+        # across different batch shapes is not an XLA contract)
+        np.testing.assert_allclose(merged[num].to_numpy(np.float64),
+                                   ref[num].to_numpy(np.float64),
+                                   rtol=5e-3, atol=1e-5, equal_nan=True)
+
+        # host-side moment reduction == single-process statistics
+        m = merge_statistics(stats_shards)
+        np.testing.assert_allclose(m["count"], stats_single["count"])
+        np.testing.assert_allclose(m["sum"], stats_single["sum"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(m["sumsq"], stats_single["sumsq"],
+                                   rtol=1e-4, atol=1e-6)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestTwoProcessRuntime:
+    def test_two_simulated_hosts_match_single_process(self, tmp_path):
+        """Launch two real OS processes joined by jax.distributed on a
+        localhost coordinator; their psum-reduced statistics and merged
+        shards must equal the single-process run."""
+        out_dir = str(tmp_path / "dist")
+        port = _free_port()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = os.path.join(repo, "tools", "dist_worker.py")
+        env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), "2", out_dir,
+             str(N_SYSTEMS), str(N_STEPS)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed workers timed out")
+            outs.append(out.decode())
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+        # both shards written; stats JSONs identical (psum-reduced)
+        merged = merge_shards(out_dir)
+        assert len(merged) == N_SYSTEMS
+        with open(os.path.join(out_dir, "stats_00000.json")) as f:
+            s0 = json.load(f)
+        with open(os.path.join(out_dir, "stats_00001.json")) as f:
+            s1 = json.load(f)
+        np.testing.assert_allclose(s0["mean"], s1["mean"], rtol=1e-12)
+        np.testing.assert_allclose(s0["count"], s1["count"])
+
+        # equal to the single-process statistics
+        df_single, st = generate_dataset_sharded(
+            seed=0, n_systems=N_SYSTEMS, out_dir=str(tmp_path / "one"),
+            n_steps=N_STEPS, process_index=0, process_count=1,
+            reduce_stats=False, show_progress=False)
+        ref = statistics_summary(st)
+        np.testing.assert_allclose(s0["count"], ref["count"])
+        # batch-shape rounding tolerance (see sharded-union test)
+        np.testing.assert_allclose(s0["mean"], ref["mean"], rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(s0["std"], ref["std"], rtol=1e-4,
+                                   atol=1e-6)
+
+
+class TestNSubCapPolicy:
+    def test_cap_labels_exact_within_cap_flagged_beyond(self):
+        """Label agreement between capped and uncapped substep handling
+        on a near-singular cohort (VERDICT round-1 weak item 3): rows
+        with n_sub <= cap are label-identical to the uncapped
+        (reference-semantics) run; rows beyond carry the
+        n_sub_capped flag so consumers can stratify them out."""
+        import jax
+        import jax.numpy as jnp
+
+        from nbodysimproject_tpu.analysis.batch import analyze_population
+        from nbodysimproject_tpu.core.config import SimConfig
+        from nbodysimproject_tpu.generators.ic_generator import (
+            generate_population)
+
+        m, q, v, mask = generate_population(
+            jax.random.PRNGKey(5), jnp.full((8,), 3, jnp.int32), n_slots=3,
+            position_scale=0.05, virial_fraction=1.5, perturbation=0.3,
+            softening=1e-4)
+        args = [np.asarray(m, np.float64), np.asarray(q, np.float64),
+                np.asarray(v, np.float64), np.asarray(mask)]
+        kw = dict(G=1.0, softening=1e-4, min_softening=0.0, dt=0.01,
+                  n_steps=25, mode="core", show_progress=False,
+                  include_ics=False)
+        df_cap = analyze_population(*args, SimConfig(analysis_n_sub_cap=256),
+                                    **kw)
+        df_unc = analyze_population(*args,
+                                    SimConfig(analysis_n_sub_cap=10 ** 6),
+                                    **kw)
+        assert not df_unc["n_sub_capped"].any()
+        within = ~df_cap["n_sub_capped"].values
+        assert within.any()
+        np.testing.assert_array_equal(
+            df_cap.loc[within, "is_stable"].values,
+            df_unc.loc[within, "is_stable"].values)
+        np.testing.assert_array_equal(df_cap["n_sub_capped"].values,
+                                      df_cap["n_sub"].values > 256)

@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Worker process for the multi-host dataset-generation test: joins a
+2-process jax.distributed CPU runtime and writes its shard.
+
+Usage: dist_worker.py <coordinator_port> <process_id> <num_processes>
+       <out_dir> <n_systems> <n_steps>
+"""
+
+import sys
+
+import jax
+
+# sitecustomize force-sets the axon platform; pin CPU before first use
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    port, pid, nproc, out_dir, n_systems, n_steps = sys.argv[1:7]
+    from nbodysimproject_tpu.parallel.distributed import (
+        initialize_distributed, generate_dataset_sharded)
+
+    ok = initialize_distributed(f"localhost:{port}", int(nproc), int(pid))
+    assert ok and jax.process_count() == int(nproc), (
+        f"distributed init failed: process_count={jax.process_count()}")
+
+    generate_dataset_sharded(seed=0, n_systems=int(n_systems),
+                             out_dir=out_dir, n_steps=int(n_steps),
+                             mode="full", show_progress=False)
+    print(f"[worker {pid}] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
