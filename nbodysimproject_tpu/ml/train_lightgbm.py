@@ -44,12 +44,13 @@ def _make_estimator_and_grid():
 
 
 def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
-               prefix: str = ""):
+               prefix: str = "", features: str = "all"):
     from sklearn.model_selection import GridSearchCV, StratifiedKFold
     from sklearn.metrics import (accuracy_score, precision_score,
                                  recall_score, f1_score, roc_auc_score)
 
-    X, y, feature_names = StabilityDataset.load(csv_path)
+    X, y, feature_names = StabilityDataset.load(csv_path,
+                                                features=features)
     if len(X) == 0:
         print("[error] No data loaded")
         return None
@@ -83,6 +84,10 @@ def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
         auroc=float(roc_auc_score(y_test, probs)) if len(set(y_test)) > 1
         else float("nan"),
     )
+    from sklearn.metrics import balanced_accuracy_score
+
+    metrics["balanced_accuracy"] = float(
+        balanced_accuracy_score(y_test, preds))
     print("Test metrics:", {k: round(v, 4) for k, v in metrics.items()})
 
     if _HAVE_LGB:

@@ -36,9 +36,15 @@ def bce_with_logits(logits, labels):
 
 class MLPTrainer:
     def __init__(self, csv_path: str = "stability_data.csv", device=None,
-                 seed: int = 42):
+                 seed: int = 42, features: str = "all"):
+        """``features``: 'all' | 'pre' | 'post' — the honest headline
+        classifier trains on 'pre' (pre-integration columns only; the
+        post-integration group contains the quantities that define
+        is_stable, so training on it is label leakage — VERDICT round-1
+        item 1)."""
         self.csv_path = csv_path
         self.seed = seed
+        self.features = features
         self.model = MLP()
         self.params = None
         self.scaler = None
@@ -47,7 +53,8 @@ class MLPTrainer:
 
     # ------------------------------------------------------------------
     def load_and_prepare_data(self):
-        X, y, feature_names = StabilityDataset.load(self.csv_path)
+        X, y, feature_names = StabilityDataset.load(self.csv_path,
+                                                    features=self.features)
         self.feature_names = feature_names
         if len(X) == 0:
             print("[error] No data loaded")
@@ -214,6 +221,8 @@ def _binary_metrics(y_true, y_pred, y_prob) -> dict:
     prec = tp / (tp + fp) if (tp + fp) else 0.0
     rec = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+    tpr = tp / (tp + fn) if (tp + fn) else 0.0
+    tnr = tn / (tn + fp) if (tn + fp) else 0.0
     try:
         from sklearn.metrics import roc_auc_score
 
@@ -221,7 +230,9 @@ def _binary_metrics(y_true, y_pred, y_prob) -> dict:
     except Exception:
         auroc = _auroc_np(y_true, y_prob)
     return dict(accuracy=float(acc), precision=float(prec),
-                recall=float(rec), f1=float(f1), auroc=auroc)
+                recall=float(rec), f1=float(f1), auroc=auroc,
+                balanced_accuracy=float(0.5 * (tpr + tnr)),
+                tpr=float(tpr), tnr=float(tnr))
 
 
 def _auroc_np(y_true, y_prob) -> float:
