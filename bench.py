@@ -119,6 +119,45 @@ def main():
             print(f"[bench] pallas-fused path unavailable: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ------------- ham_soft macro-step scan (flagship integrator) -----
+    # (VERDICT round-1 item 9: bench the flagship workload too; numbers
+    # to stderr + data/bench_details.json, headline metric unchanged)
+    details = {"verlet_xla_scan": rate_xla, "verlet_best": rate,
+               "f32_drift_sys0": drift}
+    try:
+        hs_steps = max(1, N_STEPS // 10)  # ~10 substeps/step -> same work
+        cfg_hs = nb.SimConfig(integrator_mode="ham_soft", fast_float32=True)
+        states_h, dyns_h = build_batch(mass, pos, vel, mask, cfg_hs, 1.0,
+                                       5e-2, 0.0, DT)
+        dyns_h = dyns_h.replace(n_sub=jnp.minimum(dyns_h.n_sub, 50))
+        nsub_h = int(jax.device_get(jnp.max(dyns_h.n_sub)))
+        out_h = integrate_batch(states_h, dyns_h, cfg_hs, dt, hs_steps,
+                                nsub_h)
+        jax.block_until_ready(out_h)
+        best_hs = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_h = integrate_batch(states_h, dyns_h, cfg_hs, dt, hs_steps,
+                                    nsub_h)
+            jax.block_until_ready(out_h)
+            best_hs = min(best_hs, time.perf_counter() - t0)
+        rate_hs = B * hs_steps / best_hs
+        details["hamsoft_macro_steps_per_s"] = rate_hs
+        details["hamsoft_n_sub"] = nsub_h
+        print(f"[bench] ham_soft macro-step scan: {best_hs:.3f}s "
+              f"rate={rate_hs:.3e} sys-steps/s (n_sub={nsub_h})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] ham_soft bench unavailable: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    try:
+        os.makedirs("data", exist_ok=True)
+        with open("data/bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+    except OSError as e:
+        print(f"[bench] could not write details: {e}", file=sys.stderr)
+
     target = 1.0e6  # north star: >=1e6 system-steps/s/chip at B>=1e4
     print(json.dumps({
         "metric": "batched 3-body verlet system-steps/sec/chip (B=%d)" % B,

@@ -94,7 +94,11 @@ def analyze_system(state: SimState, dyn, cfg, key, *, n_steps: int, dt,
             "energy_drift": drift,
         }, state
 
-    L0 = E.angular_momentum_z(state)
+    d = state.pos.shape[-1]
+    if d == 2:
+        L0 = E.angular_momentum_z(state)
+    else:
+        L0 = E.angular_momentum_vector(state)
     sample_interval = max(1, n_steps // 100)
 
     accs = {k: _running_init(dtype) for k in
@@ -119,9 +123,14 @@ def analyze_system(state: SimState, dyn, cfg, key, *, n_steps: int, dt,
                                     jnp.arange(n_steps))
 
     H1 = E.extended_hamiltonian(state, dyn, cfg)
-    L1 = E.angular_momentum_z(state)
     energy_drift = _rel_drift(H1, H0)
-    ang_mom_drift = _rel_drift(L1, L0)
+    if d == 2:
+        L1 = E.angular_momentum_z(state)
+        ang_mom_drift = _rel_drift(L1, L0)
+    else:
+        L1 = E.angular_momentum_vector(state)
+        ang_mom_drift = _rel_drift(jnp.sqrt(jnp.sum(L1 * L1)),
+                                   jnp.sqrt(jnp.sum(L0 * L0)))
 
     if mode == "full" and megno_steps > 0:
         state, megno, lyap, slope_med = megno_scan(

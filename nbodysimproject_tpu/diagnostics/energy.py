@@ -140,6 +140,21 @@ def angular_momentum_z(state: SimState):
     return jnp.sum(lz)
 
 
+def angular_momentum_vector(state: SimState):
+    """Total angular momentum as a vector: (3,) L = sum m q x v for
+    d = 3; for d = 2 the scalar L_z promoted to (1,).  The BASELINE
+    north star states (batch, N, 3) — this is the d-agnostic
+    diagnostic the 2-D reference never needed."""
+    q = state.pos
+    v = state.vel
+    if q.shape[-1] == 2:
+        return angular_momentum_z(state)[None]
+    L_i = state.mass[:, None] * jnp.cross(q, v)
+    if state.mask is not None:
+        L_i = jnp.where(state.mask[:, None], L_i, 0.0)
+    return jnp.sum(L_i, axis=0)
+
+
 def linear_momentum(state: SimState):
     """(d,) total momentum (diagnostics.py:559-565)."""
     p = state.mass[:, None] * state.vel

@@ -71,19 +71,42 @@ def step_metrics(state: SimState, dyn, cfg, L0=None, megno_slope_median=None):
     theta_eps = jnp.where(denom_ok, jnp.arctan2(state.pi, mu * state.eps),
                           jnp.nan)
 
-    L_i = m * (pos[:, 0] * vel[:, 1] - pos[:, 1] * vel[:, 0])
-    L_i = jnp.where(msk, L_i, 0.0)
-    L_tot = jnp.sum(L_i)
-    nb = jnp.maximum(jnp.sum(msk.astype(L_i.dtype)), 1.0)
-    L_mean = L_tot / nb
-    var_L = jnp.sum(jnp.where(msk, (L_i - L_mean) ** 2, 0.0)) / nb
+    if pos.shape[-1] == 2:
+        # scalar L_z statistics — exact reference semantics
+        L_i = m * (pos[:, 0] * vel[:, 1] - pos[:, 1] * vel[:, 0])
+        L_i = jnp.where(msk, L_i, 0.0)
+        L_tot = jnp.sum(L_i)
+        nb = jnp.maximum(jnp.sum(msk.astype(L_i.dtype)), 1.0)
+        L_mean = L_tot / nb
+        var_L = jnp.sum(jnp.where(msk, (L_i - L_mean) ** 2, 0.0)) / nb
 
-    if L0 is None:
-        L0 = L_tot
-    cos_ok = (L0 != 0.0) & (L_tot != 0.0)
-    cos_theta = jnp.where(cos_ok,
-                          (L_tot * L0) / (jnp.abs(L_tot) * jnp.abs(L0)),
-                          jnp.nan)
+        if L0 is None:
+            L0 = L_tot
+        cos_ok = (L0 != 0.0) & (L_tot != 0.0)
+        cos_theta = jnp.where(cos_ok,
+                              (L_tot * L0) / (jnp.abs(L_tot) * jnp.abs(L0)),
+                              jnp.nan)
+    else:
+        # d = 3: vector angular momentum; L_tot is the magnitude,
+        # var_L the variance of per-body |L_i|, cos_theta the tilt of
+        # the current L vector against L0 (the quantity the reference's
+        # scalar cos_theta approximates in 2-D)
+        L_iv = jnp.where(msk[:, None], m[:, None] * jnp.cross(pos, vel), 0.0)
+        L_vec = jnp.sum(L_iv, axis=0)
+        L_tot = jnp.sqrt(jnp.sum(L_vec * L_vec))
+        l_i = jnp.sqrt(jnp.sum(L_iv * L_iv, axis=1))
+        nb = jnp.maximum(jnp.sum(msk.astype(l_i.dtype)), 1.0)
+        l_mean = jnp.sum(jnp.where(msk, l_i, 0.0)) / nb
+        var_L = jnp.sum(jnp.where(msk, (l_i - l_mean) ** 2, 0.0)) / nb
+
+        if L0 is None:
+            L0 = L_vec
+        L0v = jnp.asarray(L0)
+        L0n = jnp.sqrt(jnp.sum(L0v * L0v))
+        cos_ok = (L0n != 0.0) & (L_tot != 0.0)
+        cos_theta = jnp.where(
+            cos_ok, jnp.sum(L_vec * L0v)
+            / jnp.maximum(L_tot * L0n, 1e-300), jnp.nan)
 
     out = dict(
         com_drift=com_drift,
