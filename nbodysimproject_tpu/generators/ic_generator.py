@@ -59,6 +59,23 @@ def com_momentum_projection(m, v, mask):
     return jnp.where(mask[:, None], v - com, 0.0)
 
 
+def com_recenter(m, q, mask):
+    """Shift positions so the mass-weighted centre sits at the origin.
+
+    DELIBERATE deviation from the reference generators, which only
+    project the COM *velocity*: the stability verdict requires
+    |sum m q| < 1 (stability_analyzer.py:226-231), so un-recentred
+    cohorts (hierarchical triples carry |sum m q| ~ m3 * a_outer up to
+    ~25) are auto-labelled unstable by construction — the label
+    degenerates to "which cohort is this" and any classifier scores
+    ~1.0 without learning dynamics.  Recentring makes is_stable a
+    statement about the actual evolution."""
+    mm = jnp.where(mask, m, 0.0)
+    M = jnp.maximum(jnp.sum(mm), _TINY)
+    com = jnp.sum(mm[:, None] * q, axis=0) / M
+    return jnp.where(mask[:, None], q - com, 0.0)
+
+
 def _pair_stats(q, m, mask, softening, G):
     """(U_gen, mean_sep): the generator's r+eps potential and the mean
     pair distance, both over valid pairs only."""
@@ -118,6 +135,7 @@ def _generate_one(key, mask, p, *, n_slots: int, dim: int, dtype):
 
     q = jax.random.normal(k_q, (n_slots, dim), u.dtype) * p["position_scale"]
     q = jnp.where(mask[:, None], q, 0.0)
+    q = com_recenter(m, q, mask)
 
     v = virial_velocities(k_v, m, q, mask, G=p["G"],
                           softening=p["softening"],

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ic_generator import com_momentum_projection
+from .ic_generator import com_momentum_projection, com_recenter
 
 
 # ----------------------------------------------------------------------
@@ -66,6 +66,7 @@ def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
     mask = jnp.arange(n_slots)[None, :] < 3
     mask = jnp.broadcast_to(mask, (B, n_slots))
     vel = jax.vmap(com_momentum_projection)(mass, vel, mask)
+    pos = jax.vmap(com_recenter)(mass, pos, mask)
     return mass, pos, vel, mask
 
 

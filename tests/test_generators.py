@@ -100,10 +100,17 @@ class TestSpecializedBatch:
         # inner binary separation is exactly the unit semi-major axis
         np.testing.assert_allclose(np.asarray(q[:, 1, 0] - q[:, 0, 0]), 1.0,
                                    rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(q[:, 2, 0]), [10.0, 5.0],
-                                   rtol=1e-12)
+        # outer body sits at max(sep, 5) from the inner barycentre
+        m12 = np.asarray(m[:, 0] + m[:, 1])
+        bary = np.asarray((m[:, 0] * q[:, 0, 0] + m[:, 1] * q[:, 1, 0])) / m12
+        np.testing.assert_allclose(np.asarray(q[:, 2, 0]) - bary,
+                                   [10.0, 5.0], rtol=1e-12)
         P = jnp.sum(m[..., None] * v, axis=1)
         np.testing.assert_allclose(np.asarray(P), 0.0, atol=1e-12)
+        # positions recentred: |sum m q| = 0 (the stability verdict's
+        # COM criterion)
+        com = jnp.sum(m[..., None] * q, axis=1)
+        np.testing.assert_allclose(np.asarray(com), 0.0, atol=1e-12)
 
     def test_polygon_batch_masked_counts(self):
         n = jnp.asarray([3, 5, 7])
@@ -182,3 +189,14 @@ class TestFacade:
                             "angular_momentum", "com_velocity", "is_bound"}
         assert rep["com_velocity"] == pytest.approx(0.0, abs=1e-12)
         assert rep["kinetic_energy"] > 0
+
+
+class TestCOMRecentering:
+    def test_all_cohorts_recentred(self):
+        """|sum m q| = 0 at generation for every cohort — the stability
+        verdict's COM criterion must reflect dynamics, not the
+        generator's frame (see com_recenter docstring)."""
+        mass, pos, vel, mask, soft, types = diverse_population(
+            KEY, 100, n_slots=8)
+        com = np.asarray(jnp.sum(mass[..., None] * pos, axis=1))
+        np.testing.assert_allclose(com, 0.0, atol=1e-5)
