@@ -52,3 +52,70 @@ def test_momentum_conserved():
     m = np.asarray(states.mass)
     p1 = (m[..., None] * np.asarray(vo)).sum(axis=1)
     assert np.abs(p1 - p0).max() < 1e-12
+
+
+class TestHamsoftFusedKernel:
+    def test_interpret_parity_vs_xla_scan(self):
+        """The fused multi-step ham_soft kernel reproduces the XLA scan
+        path (macro_step_dynamic) to f32 rounding, including per-system
+        dynamic n_sub and the (eps*, grad) cache semantics."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        import nbodysimproject_tpu as nb
+        from nbodysimproject_tpu.parallel.batch_engine import build_batch
+        from nbodysimproject_tpu.integrators.step import macro_step_dynamic
+        from nbodysimproject_tpu.ops.pallas_hamsoft import hamsoft_multistep
+
+        B, N, T, DT = 32, 3, 3, 0.01
+        cfg = nb.SimConfig(integrator_mode="ham_soft", fast_float32=True)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        base_q = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],
+                             jnp.float32)
+        base_v = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [-0.5, 0.0]],
+                             jnp.float32)
+        pos = base_q[None] + 0.01 * jax.random.normal(k1, (B, N, 2),
+                                                      jnp.float32)
+        vel = base_v[None] + 0.01 * jax.random.normal(k2, (B, N, 2),
+                                                      jnp.float32)
+        mass = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.1], jnp.float32),
+                                (B, N))
+        mask = jnp.ones((B, N), bool)
+        states, dyns = build_batch(mass, pos, vel, mask, cfg, 1.0, 5e-2,
+                                   0.0, DT)
+        n_sub = np.asarray(dyns.n_sub)
+        nsm = int(n_sub.max())
+        assert nsm >= 1
+
+        @functools.partial(jax.jit, static_argnames=("cfg", "T", "nsm"))
+        def run_xla(states, dyns, cfg, dt, T, nsm):
+            def body(s, _):
+                step = lambda s1, d1: macro_step_dynamic(s1, d1, cfg, dt,
+                                                         nsm)
+                return jax.vmap(step)(s, dyns), None
+
+            out, _ = jax.lax.scan(body, states, None, length=T)
+            return out
+
+        out = run_xla(states, dyns, cfg, jnp.float32(DT), T, nsm)
+
+        h = DT / np.maximum(n_sub, 1).astype(np.float32)
+        po, vo, eo, pio = hamsoft_multistep(
+            states.pos, states.vel, states.mass, states.eps, states.pi,
+            k_soft=dyns.k_soft, mu=dyns.mu_soft, alpha=dyns.alpha_run,
+            eps_min=dyns.min_softening, eps_max=dyns.max_softening,
+            h=jnp.asarray(h), n_sub=dyns.n_sub, n_steps=T, n_sub_max=nsm,
+            G=1.0, k_wall=float(cfg.k_wall), eta=float(cfg.eta),
+            jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
+            lanes=B // 8, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(po), np.asarray(out.pos),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vo), np.asarray(out.vel),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(eo), np.asarray(out.eps),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pio), np.asarray(out.pi),
+                                   rtol=1e-3, atol=5e-5)
