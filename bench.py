@@ -147,6 +147,39 @@ def main():
         print(f"[bench] ham_soft macro-step scan: {best_hs:.3f}s "
               f"rate={rate_hs:.3e} sys-steps/s (n_sub={nsub_h})",
               file=sys.stderr)
+
+        # fused VMEM-resident multi-step kernel (ops/pallas_hamsoft.py)
+        if dtype == jnp.float32 and dev.platform != "cpu" \
+                and B % (8 * 256) == 0:
+            from nbodysimproject_tpu.ops.pallas_hamsoft import (
+                hamsoft_multistep_jit)
+
+            n_sub_arr = np.asarray(jax.device_get(dyns_h.n_sub))
+            h_arr = jnp.asarray(
+                DT / np.maximum(n_sub_arr, 1).astype(np.float32))
+            args_h = (states_h.pos, states_h.vel, states_h.mass,
+                      states_h.eps, states_h.pi, dyns_h.k_soft,
+                      dyns_h.mu_soft, dyns_h.alpha_run,
+                      dyns_h.min_softening, dyns_h.max_softening, h_arr,
+                      dyns_h.n_sub, hs_steps, nsub_h, 1.0,
+                      float(cfg_hs.k_wall), float(cfg_hs.eta),
+                      float(cfg_hs.j_max_cap),
+                      int(cfg_hs.barrier_exponent), 256)
+            ko = hamsoft_multistep_jit(*args_h)
+            jax.block_until_ready(ko)
+            best_k = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ko = hamsoft_multistep_jit(*args_h)
+                jax.block_until_ready(ko)
+                best_k = min(best_k, time.perf_counter() - t0)
+            rate_k = B * hs_steps / best_k
+            details["hamsoft_fused_steps_per_s"] = rate_k
+            details["hamsoft_fused_vs_scan"] = rate_k / rate_hs
+            print(f"[bench] ham_soft fused kernel: {best_k:.3f}s "
+                  f"rate={rate_k:.3e} sys-steps/s "
+                  f"({rate_k / rate_hs:.2f}x the XLA scan)",
+                  file=sys.stderr)
     except Exception as e:
         print(f"[bench] ham_soft bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)

@@ -45,10 +45,19 @@ def initialize_distributed(coordinator_address: str | None = None,
     if process_id is None:
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
 
-    if num_processes <= 1 or coordinator_address is None:
+    # IMPORTANT: jax.distributed.initialize() must run before ANY call
+    # that initialises the XLA backend — including jax.process_count()
+    # — so probe the runtime state without touching the backend.
+    try:
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    except (ImportError, AttributeError):
+        already = False
+    if already:
         return jax.process_count() > 1
-    if jax.process_count() > 1:  # already initialized
-        return True
+    if num_processes <= 1 or coordinator_address is None:
+        return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -117,7 +126,8 @@ def reduce_statistics_global(stats: dict) -> dict:
         f = jax.jit(shard_map(lambda t: jax.lax.psum(t, "hosts"),
                               mesh=mesh, in_specs=P("hosts"),
                               out_specs=P()))
-        return np.asarray(jax.device_get(f(global_arr)))
+        # the per-device block keeps a leading length-1 shard axis
+        return np.asarray(jax.device_get(f(global_arr)))[0]
 
     out = dict(stats)
     for k in ("count", "sum", "sumsq"):

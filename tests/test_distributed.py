@@ -95,7 +95,10 @@ class TestTwoProcessRuntime:
         port = _free_port()
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         worker = os.path.join(repo, "tools", "dist_worker.py")
-        env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+        # Gloo (the CPU collectives transport) must bind the loopback
+        # interface in sandboxed environments
+        env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu",
+                   GLOO_SOCKET_IFNAME="lo")
         procs = [subprocess.Popen(
             [sys.executable, worker, str(port), str(i), "2", out_dir,
              str(N_SYSTEMS), str(N_STEPS)],
