@@ -1,0 +1,341 @@
+"""Particle-Mesh (PM) force for the large-N regime.
+
+The reference's results PDF claims an 8-15x speedup from a Barnes-Hut
+tree at theta = 0.5 for N in [1e4, 1e5] — but ships no tree code
+(resultsNbody.pdf section 5.2; SURVEY.md flags BH optional/absent).
+A pointer-chasing tree is the wrong shape for a TPU anyway: this module
+gets the same O(N) + O(Ng^2 log Ng) scaling with an FFT convolution,
+which rides the hardware's strongest units.
+
+Method — exact-kernel PM (not a Poisson solve):
+
+    F(x_i) = sum_j m_j k(x_i - x_j),
+    k(r)   = -G r / (|r|^2 + eps^2)^{3/2}
+
+is a convolution of the mass field with the *exact Plummer-softened
+force kernel*, so
+
+1. deposit masses on an Ng x Ng grid with cloud-in-cell (CIC) weights,
+2. zero-pad to (2Ng)^2 (open boundaries — no periodic images),
+3. multiply the mass-field FFT by the FFT of k sampled on the padded
+   grid (each component), inverse-FFT,
+4. gather per-particle forces with the same CIC weights.
+
+The only approximation is the CIC smoothing at scales below a grid
+cell; for softening eps >~ 1.5 cells the relative force error is at
+the 1e-3 level (tested vs the dense direct force).  Accuracy improves
+with Ng and degrades gracefully for close pairs — the same regime a
+theta = 0.5 BH tree approximates far more coarsely.
+
+Self-interaction is exactly zero by antisymmetry of k (k(0) = 0 on the
+sampled grid), so no self-energy correction is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _cic_indices_weights(q, lo, cell, Ng):
+    """(idx0, frac): lower-cell index (N, d) int32 and the fractional
+    offset (N, d) for cloud-in-cell deposits/gathers."""
+    u = (q - lo) / cell
+    u = jnp.clip(u, 0.0, Ng - 1.000001)
+    i0 = jnp.floor(u)
+    frac = u - i0
+    return i0.astype(jnp.int32), frac
+
+
+def _tsc_axis(q1, lo1, cell, Ng):
+    """(idx, w): per-axis TSC stencil — centre index (N,) and the
+    3-point weights (N, 3) at offsets (-1, 0, +1)."""
+    u = (q1 - lo1) / cell
+    u = jnp.clip(u, 1.0, Ng - 2.000001)
+    ic = jnp.round(u)
+    d = u - ic
+    w = jnp.stack([0.5 * (0.5 - d) ** 2,
+                   0.75 - d * d,
+                   0.5 * (0.5 + d) ** 2], axis=1)
+    return ic.astype(jnp.int32), w
+
+
+def _deposit_tsc(q, m, lo, cell, Ng):
+    ix, wx = _tsc_axis(q[:, 0], lo[0], cell, Ng)
+    iy, wy = _tsc_axis(q[:, 1], lo[1], cell, Ng)
+    rho = jnp.zeros((Ng, Ng), q.dtype)
+    for a in range(3):
+        for b in range(3):
+            rho = rho.at[ix + (a - 1), iy + (b - 1)].add(
+                m * wx[:, a] * wy[:, b])
+    return rho
+
+
+def _gather_tsc(field, q, lo, cell, Ng):
+    ix, wx = _tsc_axis(q[:, 0], lo[0], cell, Ng)
+    iy, wy = _tsc_axis(q[:, 1], lo[1], cell, Ng)
+    out = jnp.zeros(q.shape[0], field.dtype)
+    for a in range(3):
+        for b in range(3):
+            out = out + field[ix + (a - 1), iy + (b - 1)] \
+                * wx[:, a] * wy[:, b]
+    return out
+
+
+def _deposit_cic(q, m, lo, cell, Ng):
+    """CIC mass deposit onto an (Ng, Ng) grid."""
+    i0, f = _cic_indices_weights(q, lo, cell, Ng)
+    rho = jnp.zeros((Ng, Ng), q.dtype)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = jnp.minimum(i0[:, 0] + dx, Ng - 1)
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = jnp.minimum(i0[:, 1] + dy, Ng - 1)
+            rho = rho.at[ix, iy].add(m * wx * wy)
+    return rho
+
+
+def _gather_cic(field, q, lo, cell, Ng):
+    """CIC interpolation of a grid field at particle positions."""
+    i0, f = _cic_indices_weights(q, lo, cell, Ng)
+    out = jnp.zeros(q.shape[0], field.dtype)
+    for dx in (0, 1):
+        wx = (1.0 - f[:, 0]) if dx == 0 else f[:, 0]
+        ix = jnp.minimum(i0[:, 0] + dx, Ng - 1)
+        for dy in (0, 1):
+            wy = (1.0 - f[:, 1]) if dy == 0 else f[:, 1]
+            iy = jnp.minimum(i0[:, 1] + dy, Ng - 1)
+            out = out + field[ix, iy] * wx * wy
+    return out
+
+
+def _force_kernel_ffts(Ng, cell, eps, G, dtype):
+    """FFTs of the softened force-kernel components sampled on the
+    zero-padded (2Ng, 2Ng) grid, with wraparound (circular) ordering so
+    linear convolution of the padded fields is exact."""
+    Np = 2 * Ng
+    # signed grid offsets in wraparound order: 0, 1, ..., Ng-1, -Ng, ..., -1
+    ax = jnp.arange(Np)
+    off = jnp.where(ax < Ng, ax, ax - Np).astype(dtype) * cell
+    rx = off[:, None]
+    ry = off[None, :]
+    r2 = rx * rx + ry * ry + eps * eps
+    inv = r2 ** (-1.5)
+    kx = -G * rx * inv
+    ky = -G * ry * inv
+    return jnp.fft.rfft2(kx), jnp.fft.rfft2(ky)
+
+
+@functools.partial(jax.jit, static_argnames=("Ng", "assignment"))
+def pm_force(q, m, eps, G=1.0, *, Ng: int = 256, bounds=None,
+             assignment: str = "tsc"):
+    """Plummer-softened pairwise forces via exact-kernel PM.
+
+    q: (N, 2) positions, m: (N,) masses.  ``bounds`` optionally fixes
+    (lo, hi) per axis for a stable grid under jit; default = the
+    particle bounding box (data-dependent, still jittable).
+    Returns (N, 2) forces F_i = sum_j m_i m_j k(x_i - x_j) * m_i —
+    i.e. the same quantity as ``ops.forces.gravitational_force``.
+    """
+    dtype = q.dtype
+    if bounds is None:
+        lo = jnp.min(q, axis=0)
+        hi = jnp.max(q, axis=0)
+    else:
+        lo, hi = (jnp.asarray(b, dtype) for b in bounds)
+    span = jnp.maximum(jnp.max(hi - lo), 1e-6)
+    pad = 0.01 * span
+    lo = jnp.minimum(lo[0], lo[1]) - pad
+    cell = (span + 2 * pad) / Ng
+    lo = jnp.full((2,), lo, dtype)
+
+    deposit = _deposit_tsc if assignment == "tsc" else _deposit_cic
+    gather = _gather_tsc if assignment == "tsc" else _gather_cic
+    rho = deposit(q, m, lo, cell, Ng)
+    Np = 2 * Ng
+    rho_p = jnp.zeros((Np, Np), dtype).at[:Ng, :Ng].set(rho)
+    R = jnp.fft.rfft2(rho_p)
+    KX, KY = _force_kernel_ffts(Ng, cell, jnp.asarray(eps, dtype),
+                                jnp.asarray(G, dtype), dtype)
+    fx_grid = jnp.fft.irfft2(R * KX, (Np, Np))[:Ng, :Ng]
+    fy_grid = jnp.fft.irfft2(R * KY, (Np, Np))[:Ng, :Ng]
+
+    fx = gather(fx_grid, q, lo, cell, Ng)
+    fy = gather(fy_grid, q, lo, cell, Ng)
+    return m[:, None] * jnp.stack([fx, fy], axis=1)
+
+
+# ----------------------------------------------------------------------
+# P3M: smooth-split kernel + sort-based cell-list short-range pass
+# ----------------------------------------------------------------------
+
+def _smoothstep(s):
+    """C^2 smoothstep 0 -> 1 on [0, 1]."""
+    s = jnp.clip(s, 0.0, 1.0)
+    return s * s * s * (10.0 + s * (-15.0 + 6.0 * s))
+
+
+def _split_kernel_ffts(Ng, cell, eps, G, r_cut, dtype):
+    """FFTs of the LONG-RANGE force kernel k(r) * g(|r|/r_cut): smooth
+    at the origin (g -> 0), equal to the exact kernel beyond r_cut, so
+    grid sampling is accurate everywhere."""
+    Np = 2 * Ng
+    ax = jnp.arange(Np)
+    off = jnp.where(ax < Ng, ax, ax - Np).astype(dtype) * cell
+    rx = off[:, None]
+    ry = off[None, :]
+    r2 = rx * rx + ry * ry
+    g = _smoothstep(jnp.sqrt(r2) / r_cut)
+    inv = (r2 + eps * eps) ** (-1.5) * g
+    KX = jnp.fft.rfft2(-G * rx * inv)
+    KY = jnp.fft.rfft2(-G * ry * inv)
+
+    # deconvolve the TSC assignment applied twice (deposit + gather):
+    # W_tsc(k) = sinc^3(pi f / Np) per axis, so divide by sinc^6
+    def sinc3(f):
+        x = jnp.pi * f.astype(dtype) / Np
+        s = jnp.where(f == 0, 1.0, jnp.sin(x) / jnp.where(f == 0, 1.0, x))
+        return s * s * s
+
+    fx = jnp.minimum(ax, Np - ax)            # |frequency| index, full axis
+    fy = jnp.arange(Np // 2 + 1)             # rfft axis
+    w2 = (sinc3(fx)[:, None] * sinc3(fy)[None, :]) ** 2
+    w2 = jnp.maximum(w2, 1e-4)               # cap the Nyquist boost
+    return KX / w2, KY / w2
+
+
+def _pp_short_range_banded(q, m, eps, G, r_cut, lo, n_rows: int,
+                           ti: int, W: int):
+    """Short-range pass via row bands and contiguous windows.
+
+    Particles are sorted by their r_cut-sized row index; a tile of
+    ``ti`` consecutive (sorted) particles interacts with the contiguous
+    window of particles spanning its rows +- 1 — a dynamic_slice, not a
+    random gather (TPU gathers serialize; slices stream).  Window width
+    is capped at the static ``W``; overflow pairs are dropped and
+    counted.  Cost: (N/ti) * ti * W pair evaluations, all dense.
+    """
+    dtype = q.dtype
+    N = q.shape[0]
+    rows = jnp.clip(jnp.floor((q[:, 0] - lo[0]) / r_cut), 0, n_rows - 1
+                    ).astype(jnp.int32)
+    order = jnp.argsort(rows)
+    qs = q[order]
+    ms = m[order]
+    rs = rows[order]
+
+    n_tiles = -(-N // ti)
+    Npad = n_tiles * ti
+    W = min(W, Npad)
+    pad = Npad - N
+    if pad:
+        qs = jnp.pad(qs, ((0, pad), (0, 0)), constant_values=1e30)
+        ms = jnp.pad(ms, (0, pad))
+        rs = jnp.pad(rs, (0, pad), constant_values=n_rows - 1)
+
+    row_start = jnp.searchsorted(rs, jnp.arange(n_rows + 1, dtype=jnp.int32)
+                                 ).astype(jnp.int32)
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    rmin = rs[t_ids * ti]
+    rmax = rs[jnp.minimum((t_ids + 1) * ti - 1, Npad - 1)]
+    j_start = row_start[jnp.maximum(rmin - 1, 0)]
+    j_end = row_start[jnp.minimum(rmax + 2, n_rows)]
+    n_dropped = jnp.sum(jnp.maximum(j_end - j_start - W, 0))
+    j_start = jnp.minimum(j_start, jnp.maximum(Npad - W, 0))
+
+    qx = qs[:, 0]
+    qy = qs[:, 1]
+    eps2 = eps * eps
+
+    def tile_fn(t):
+        i0 = t * ti
+        xi = jax.lax.dynamic_slice(qx, (i0,), (ti,))
+        yi = jax.lax.dynamic_slice(qy, (i0,), (ti,))
+        js = j_start[t]
+        xj = jax.lax.dynamic_slice(qx, (js,), (W,))
+        yj = jax.lax.dynamic_slice(qy, (js,), (W,))
+        mj = jax.lax.dynamic_slice(ms, (js,), (W,))
+        jidx = js + jnp.arange(W, dtype=jnp.int32)
+        in_win = jidx < j_end[t]
+        not_self = jidx[None, :] != (i0 + jnp.arange(ti,
+                                                     dtype=jnp.int32))[:, None]
+
+        dx = xi[:, None] - xj[None, :]
+        dy = yi[:, None] - yj[None, :]
+        r2 = dx * dx + dy * dy
+        r = jnp.sqrt(r2)
+        w = (1.0 - _smoothstep(r / r_cut)) * (r2 + eps2) ** (-1.5)
+        w = jnp.where(in_win[None, :] & not_self & (r < r_cut),
+                      mj[None, :] * w, 0.0)
+        return jnp.stack([jnp.sum(w * dx, 1), jnp.sum(w * dy, 1)], axis=1)
+
+    F_tiles = jax.lax.map(tile_fn, t_ids)          # (n_tiles, ti, 2)
+    F_sorted = -G * F_tiles.reshape(Npad, 2)[:N]
+    inv = jnp.zeros(N, jnp.int32).at[order].set(jnp.arange(N,
+                                                           dtype=jnp.int32))
+    return F_sorted[inv], n_dropped
+
+
+@functools.partial(jax.jit, static_argnames=("Ng", "r_cut_cells",
+                                             "pp_tile", "pp_window"))
+def p3m_force(q, m, eps, G=1.0, *, Ng: int = 256, r_cut_cells: float = 4.0,
+              bounds=None, pp_tile: int = 256, pp_window: int = 0):
+    """Plummer-softened forces by particle-particle particle-mesh.
+
+    The pair kernel splits as k = k*g + k*(1-g) with g a C^2
+    smoothstep over [0, r_cut]:
+
+    * mesh part: FFT convolution with the smooth k*g (TSC deposits) —
+      accurate because the sampled kernel varies on the r_cut scale;
+    * short-range part: exact k*(1-g) summed directly over a banded
+      window (particles sorted by r_cut-row; each ``pp_tile``-particle
+      tile streams the contiguous window covering its rows +- 1 with
+      dynamic slices — dense fixed-shape compute, no random gathers,
+      no pointer chasing).
+
+    Returns ((N, 2) forces, n_dropped): n_dropped counts window
+    overflow beyond ``pp_window`` (0 when the cap is adequate;
+    pp_window defaults to ~2x the expected band width).
+    """
+    dtype = q.dtype
+    N = q.shape[0]
+    if bounds is None:
+        lo2 = jnp.min(q, axis=0)
+        hi2 = jnp.max(q, axis=0)
+    else:
+        lo2, hi2 = (jnp.asarray(b, dtype) for b in bounds)
+    span = jnp.maximum(jnp.max(hi2 - lo2), 1e-6)
+    pad = 0.01 * span
+    lo = jnp.full((2,), jnp.min(lo2) - pad, dtype)
+    cell = (span + 2 * pad) / Ng
+    r_cut = r_cut_cells * cell
+    eps = jnp.asarray(eps, dtype)
+    Gc = jnp.asarray(G, dtype)
+
+    # ---- mesh (long-range) part ---------------------------------------
+    rho = _deposit_tsc(q, m, lo, cell, Ng)
+    Np = 2 * Ng
+    rho_p = jnp.zeros((Np, Np), dtype).at[:Ng, :Ng].set(rho)
+    R = jnp.fft.rfft2(rho_p)
+    KX, KY = _split_kernel_ffts(Ng, cell, eps, Gc, r_cut, dtype)
+    fx_grid = jnp.fft.irfft2(R * KX, (Np, Np))[:Ng, :Ng]
+    fy_grid = jnp.fft.irfft2(R * KY, (Np, Np))[:Ng, :Ng]
+    fx = _gather_tsc(fx_grid, q, lo, cell, Ng)
+    fy = _gather_tsc(fy_grid, q, lo, cell, Ng)
+    F = jnp.stack([fx, fy], axis=1)
+
+    # ---- short-range banded-window pass ---------------------------------
+    n_rows = max(int(Ng // r_cut_cells), 1)
+    if pp_window <= 0:
+        # 3-row band width with headroom for centrally-concentrated
+        # distributions (a 2D Gaussian's peak row carries ~2.4x the
+        # mean; 16/3 ~ 5.3x headroom keeps drops at zero well past it)
+        est = 16 * q.shape[0] // n_rows + 512
+        pp_window = min(-(-est // 512) * 512, max(N, 512))
+    F_sr, n_dropped = _pp_short_range_banded(q, m, eps, Gc, r_cut, lo,
+                                             n_rows, pp_tile, pp_window)
+
+    return m[:, None] * (F + F_sr), n_dropped
