@@ -223,6 +223,13 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     buckets = _bucket_ladder_values(n_subs)
     res_rows = {}
     feats_rows = {}
+    # fused-kernel path gating (see analysis/fused.py): the pipeline's
+    # exact ham_soft configuration with uniform G on a TPU batch
+    from .fused import analyze_batch_fused, fused_path_applicable
+
+    g_np = np.asarray(jax.device_get(G), np.float64)
+    g_uniform = g_np.size == 1 or bool((g_np == g_np.flat[0]).all())
+    _LANES = 128  # 256-lane blocks spill the 16M scoped-VMEM budget at N=8 slots
     for b in np.unique(buckets):
         idx = np.nonzero(buckets == b)[0]
         # pad the group to a power-of-two size so repeated runs reuse
@@ -230,10 +237,18 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         bsz = 1 << int(np.ceil(np.log2(len(idx))))
         pad_idx = np.concatenate([idx, np.repeat(idx[:1], bsz - len(idx))])
         take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
-        r, _ = analyze_batch_jit(take(states), take(dyns), cfg,
-                                 keys[pad_idx], int(n_steps),
-                                 jnp.asarray(dt, dtype), mode, int(b),
-                                 megno_steps)
+        if (g_uniform and bsz % (8 * _LANES) == 0
+                and fused_path_applicable(cfg, mode, bsz, dtype, _LANES)):
+            r, _ = analyze_batch_fused(take(states), take(dyns), cfg,
+                                       keys[pad_idx], int(n_steps),
+                                       jnp.asarray(dt, dtype), mode,
+                                       int(b), megno_steps, _LANES,
+                                       float(g_np.flat[0]))
+        else:
+            r, _ = analyze_batch_jit(take(states), take(dyns), cfg,
+                                     keys[pad_idx], int(n_steps),
+                                     jnp.asarray(dt, dtype), mode, int(b),
+                                     megno_steps)
         r = {k: np.asarray(jax.device_get(v))[:len(idx)]
              for k, v in r.items()}
         if mode == "full":

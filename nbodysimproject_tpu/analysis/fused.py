@@ -1,0 +1,178 @@
+"""Batched ham_soft analysis driven by the fused multi-step kernel.
+
+``analyze_batch_jit`` advances every system through an XLA scan —
+correct for any mode, but each Strang substep round-trips ~20 (B, N, N)
+intermediates through HBM.  For the dataset pipeline's exact
+configuration (ham_soft, float32, soft barrier, exact eps* gradient)
+this module replaces the integration between metric samples with the
+VMEM-resident fused kernel (ops/pallas_hamsoft.py, measured 2.4-2.7x
+the scan at B = 16k), keeping the metric sampling semantics aligned
+with ``analysis.stability.analyze_system``:
+
+    scan body i: step once, sample when i % interval == 0
+    == chunks of [1, interval, interval, ...] steps, sampling after
+       each chunk, with an unsampled tail.
+
+The MEGNO continuation and the verdict are unchanged (the tangent map
+needs force evaluations the kernel does not expose).
+
+Differences vs the scan path, both at float32 noise level: the kernel
+runs all 8 SPH iterations (no global convergence freeze, <= 1e-6
+relative eps* perturbation), and XLA reduction orders differ.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import SimState
+from ..diagnostics.megno import megno_scan
+from ..diagnostics.metrics import step_metrics
+from ..ops.pallas_hamsoft import hamsoft_multistep
+from .stability import _running_update, _mean, _std, _rel_drift
+
+import importlib
+
+E = importlib.import_module("nbodysimproject_tpu.diagnostics.energy")
+
+
+def _quad_of(states: SimState):
+    return (states.pos, states.vel, states.eps, states.pi)
+
+
+def _states_with(states: SimState, quad):
+    pos, vel, eps, pi = quad
+    return states.replace(pos=pos, vel=vel, eps=eps, pi=pi, s=eps,
+                          step_s2=eps * eps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "mode", "n_sub_max",
+                                   "megno_steps", "lanes", "g_static"))
+def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
+                        n_sub_max, megno_steps, lanes: int = 256,
+                        g_static: float = 1.0):
+    """Drop-in batched replacement for ``analyze_batch_jit`` on the
+    fused-kernel configuration (ham_soft, float32, core/full mode).
+    states/dyns are stacked PyTrees with leading batch axis B
+    (a multiple of 8 * lanes); G must be the uniform ``g_static``
+    (checked by the caller)."""
+    B = states.pos.shape[0]
+    dtype = states.pos.dtype
+    dt = jnp.asarray(dt, dtype)
+    n_sub = jnp.maximum(dyns.n_sub, 1)
+    h = dt / n_sub.astype(dtype)
+
+    def run_kernel(quad, steps: int):
+        pos, vel, eps, pi = quad
+        return hamsoft_multistep(
+            pos, vel, states.mass, eps, pi, k_soft=dyns.k_soft,
+            mu=dyns.mu_soft, alpha=dyns.alpha_run,
+            eps_min=dyns.min_softening, eps_max=dyns.max_softening, h=h,
+            n_sub=n_sub, n_steps=steps, n_sub_max=n_sub_max, G=g_static,
+            k_wall=float(cfg.k_wall), eta=float(cfg.eta),
+            jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
+            lanes=lanes)
+
+    H0 = jax.vmap(lambda s, d: E.extended_hamiltonian(s, d, cfg))(states,
+                                                                  dyns)
+    L0 = jax.vmap(E.angular_momentum_z)(states)
+
+    sample_interval = max(1, n_steps // 100)
+    n_samples = -(-n_steps // sample_interval)  # matches i % k == 0 count
+    tail = n_steps - 1 - (n_samples - 1) * sample_interval
+
+    z = jnp.zeros((B,), dtype)
+    acc0 = (z, z, z, jnp.full((B,), -jnp.inf, dtype),
+            jnp.full((B,), jnp.inf, dtype))
+    accs = {k: acc0 for k in ("com_drift", "J_eps", "theta_eps",
+                              "cos_theta", "var_L", "tr_hessian")}
+
+    def sample(quad, accs):
+        st = _states_with(states, quad)
+        met = jax.vmap(lambda s1, d1, l0: step_metrics(s1, d1, cfg, L0=l0))(
+            st, dyns, L0)
+        upd = lambda acc, x: jax.vmap(_running_update)(acc, x)
+        return {k: upd(accs[k], met[k]) for k in accs}
+
+    # chunk 0: one step, then sample
+    quad = run_kernel(_quad_of(states), 1)
+    accs = sample(quad, accs)
+
+    if n_samples > 1:
+        def body(carry, _):
+            quad, accs = carry
+            quad = run_kernel(quad, sample_interval)
+            accs = sample(quad, accs)
+            return (quad, accs), None
+
+        (quad, accs), _ = jax.lax.scan(body, (quad, accs), None,
+                                       length=n_samples - 1)
+    if tail > 0:
+        quad = run_kernel(quad, tail)
+
+    st1 = _states_with(states, quad)
+    H1 = jax.vmap(lambda s, d: E.extended_hamiltonian(s, d, cfg))(st1, dyns)
+    L1 = jax.vmap(E.angular_momentum_z)(st1)
+    energy_drift = jax.vmap(_rel_drift)(H1, H0)
+    ang_mom_drift = jax.vmap(_rel_drift)(L1, L0)
+
+    if mode == "full" and megno_steps > 0:
+        st1, megno, lyap, slope_med = jax.vmap(
+            lambda s, d, k: megno_scan(s, d, cfg, k, megno_steps, dt,
+                                       n_sub_max=n_sub_max))(st1, dyns, keys)
+    else:
+        megno = jnp.full((B,), 2.0, dtype)
+        lyap = jnp.full((B,), jnp.inf, dtype)
+        slope_med = jnp.zeros((B,), dtype)
+
+    vmean = jax.vmap(_mean)
+    vstd = jax.vmap(_std)
+    com_mean = vmean(accs["com_drift"])
+    is_stable = ((energy_drift < 0.01) & (ang_mom_drift < 0.01)
+                 & (com_mean < 1.0) & (megno < 10.0))
+    result = {
+        "is_stable": is_stable.astype(dtype),
+        "energy_drift": energy_drift,
+        "angular_momentum_drift": ang_mom_drift,
+        "com_drift_mean": com_mean,
+        "com_drift_max": accs["com_drift"][3],
+        "j_eps_mean": vmean(accs["J_eps"]),
+        "j_eps_std": vstd(accs["J_eps"]),
+        "theta_eps_mean": vmean(accs["theta_eps"]),
+        "theta_eps_std": vstd(accs["theta_eps"]),
+        "cos_theta_mean": vmean(accs["cos_theta"]),
+        "cos_theta_min": accs["cos_theta"][4],
+        "ang_mom_var_mean": vmean(accs["var_L"]),
+        "ang_mom_var_max": accs["var_L"][3],
+        "tidal_trace_mean": vmean(accs["tr_hessian"]),
+        "tidal_trace_max": accs["tr_hessian"][3],
+        "MEGNO": megno,
+        "lyapunov_time": lyap,
+        "megno_slope_med": slope_med,
+    }
+    return result, st1
+
+
+def fused_path_applicable(cfg, mode: str, B: int, dtype,
+                          lanes: int = 256) -> bool:
+    """The configurations the fused analysis covers: the dataset
+    pipeline's defaults on a TPU-sized float32 batch."""
+    import jax as _jax
+
+    return (bool(getattr(cfg, "use_fused_analysis", False))
+            and cfg.integrator_mode == "ham_soft"
+            and mode in ("core", "full")
+            and dtype == jnp.float32
+            and not cfg.use_legacy_eps_star
+            and not cfg.fixed_eps_star
+            and cfg.eps_grad_mode == "exact"
+            and bool(cfg.use_soft_barrier)
+            and not cfg.disable_barrier
+            and not cfg.freeze_s_subsystem
+            and not cfg._validate_S_only
+            and B % (8 * lanes) == 0
+            and _jax.devices()[0].platform not in ("cpu",))

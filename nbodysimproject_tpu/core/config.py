@@ -108,6 +108,14 @@ class SimConfig:
     # capped-50 cost); the frame records n_sub/n_sub_capped for
     # transparency.
     analysis_n_sub_cap: int = 0
+    # Use the fused multi-step Pallas kernel inside batched analysis
+    # (analysis/fused.py).  Opt-in: the kernel beats the XLA scan
+    # 2.4-2.7x on pure integration (bench.py), but at the pipeline's
+    # 8-slot config the metric-interleaved analysis measured slightly
+    # SLOWER fused (322 vs 352 systems/s at B=16k) — per-chunk layout
+    # folding and the rematerialised eps* backward (scoped-VMEM limit)
+    # eat the residency win.
+    use_fused_analysis: bool = False
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

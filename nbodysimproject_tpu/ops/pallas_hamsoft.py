@@ -86,46 +86,98 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
         return r2
 
     # ---------------- eps* (SPH softmin; ops/eps_model.py) -------------
-    def eps_star_fn(pos):
-        r2 = pair_r2(pos)
+    mval = [jnp.where(v, mm, 0.0) for mm, v in zip(mass, valid)]
+
+    def _sigma_terms_at(r2, hi, i):
+        """(S_i, Sd_i, W_ij list) at smoothing length hi for body i."""
+        ih2 = 1.0 / jnp.maximum(hi * hi, 1e-24)
+        S = jnp.zeros_like(hi)
+        Sd = jnp.zeros_like(hi)
+        Ws = {}
+        for j in range(n):
+            if j == i:
+                continue
+            key = (i, j) if i < j else (j, i)
+            w = inv_pi * ih2 * jnp.exp(-r2[key] * ih2)
+            Ws[j] = w
+            S = S + mval[j] * w
+            # dW/dh = W * (-2/h + 2 r^2 / h^3)
+            Sd = Sd + mval[j] * w * (-2.0 + 2.0 * r2[key] * ih2) \
+                / jnp.maximum(hi, 1e-12)
+        return S, Sd, Ws
+
+    def _solve_iterates(pos, r2):
+        """Run the 8 SPH iterations, returning every iterate
+        [h_0, ..., h_8] (each a list of n blocks) — the only stored
+        state; kernel matrices are recomputed in the reverse sweep
+        (hand-written remat: Mosaic cannot lower jax.checkpoint, and
+        storing AD residuals blows the 16M scoped-VMEM budget)."""
         h0 = jnp.clip(eps, flo, cap)
-        hi = [h0 for _ in range(n)]
+        iters = [[h0 for _ in range(n)]]
         for _ in range(8):
+            prev = iters[-1]
             new = []
             for i in range(n):
-                ih2 = 1.0 / jnp.maximum(hi[i] * hi[i], 1e-24)
-                S = jnp.zeros_like(hi[i])
-                for j in range(n):
-                    if j == i:
-                        continue
-                    key = (i, j) if i < j else (j, i)
-                    w = inv_pi * ih2 * jnp.exp(-r2[key] * ih2)
-                    S = S + jnp.where(valid[j], mass[j], 0.0) * w
-                hn = etaf * jnp.sqrt(
-                    jnp.where(valid[i], mass[i], 0.0)
-                    / jnp.maximum(S, 1e-30))
+                S, _, _ = _sigma_terms_at(r2, prev[i], i)
+                hn = etaf * jnp.sqrt(mval[i] / jnp.maximum(S, 1e-30))
                 new.append(jnp.clip(hn, flo, cap))
-            hi = new
-        # softmin over valid bodies
-        t = [jnp.where(v, -x / alpha, f32(-1e30)) for x, v in zip(hi, valid)]
+            iters.append(new)
+        return iters
+
+    def eps_star_of(h_final):
+        t = [jnp.where(v, -x / alpha, f32(-1e30))
+             for x, v in zip(h_final, valid)]
         tmax = t[0]
         for x in t[1:]:
             tmax = jnp.maximum(tmax, x)
         s = jnp.zeros_like(tmax)
         for x in t:
             s = s + jnp.exp(x - tmax)
-        return -alpha * (tmax + jnp.log(s))
+        es = -alpha * (tmax + jnp.log(s))
+        omega = [jnp.exp(x - tmax) / s for x in t]  # d es / d h_i
+        return es, omega
 
     def eps_star_and_grad(pos):
-        es, vjp = jax.vjp(eps_star_fn, pos)
-        (grad,) = vjp(jnp.ones_like(es))
-        # non-finite -> 0, matching the XLA path's sanitizer
-        # (ops/eps_model.py eps_star_and_grad): in float32 the sqrt
-        # backward overflows on clamp-saturated lanes (S ~ 1e-27),
-        # where the true gradient is exactly zero
-        grad = [jnp.where(valid[k // dim] & jnp.isfinite(g), g, 0.0)
-                for k, g in enumerate(grad)]
-        return es, grad
+        r2 = pair_r2(pos)
+        iters = _solve_iterates(pos, r2)
+        es, u = eps_star_of(iters[-1])
+
+        g_q = [jnp.zeros_like(pos[0]) for _ in range(nd)]
+        # reverse sweep: h_k = clip(G_i(h_{k-1})) with a DIAGONAL
+        # Jacobian (Sigma_i depends only on h_i), so the cotangent on
+        # h stays per-body; kernel sums are recomputed at h_{k-1}
+        for k in range(8, 0, -1):
+            h_prev = iters[k - 1]
+            u_new = []
+            for i in range(n):
+                S, Sd, Ws = _sigma_terms_at(r2, h_prev[i], i)
+                Ssafe = jnp.maximum(S, 1e-30)
+                G_raw = etaf * jnp.sqrt(mval[i] / Ssafe)
+                gate = (G_raw > flo) & (G_raw < cap)
+                ui = jnp.where(gate, u[i], 0.0)
+                # dG/dS = -G_raw / (2 S)
+                c = ui * (-G_raw / (2.0 * Ssafe))
+                # finite-guard like the XLA path's sanitizer: the
+                # float32 backward overflows on saturated lanes where
+                # the true gradient is exactly zero
+                c = jnp.where(jnp.isfinite(c), c, 0.0)
+                # dS/dq and dS/dh
+                ih2 = 1.0 / jnp.maximum(h_prev[i] * h_prev[i], 1e-24)
+                for j in range(n):
+                    if j == i:
+                        continue
+                    key = (i, j) if i < j else (j, i)
+                    coeff = c * mval[j] * Ws[j] * (-2.0 * ih2)
+                    for a in range(dim):
+                        d = pos[i * dim + a] - pos[j * dim + a]
+                        g_q[i * dim + a] = g_q[i * dim + a] + coeff * d
+                        g_q[j * dim + a] = g_q[j * dim + a] - coeff * d
+                u_new.append(c * Sd)
+            u = u_new
+
+        g_q = [jnp.where(valid[k // dim] & jnp.isfinite(g), g, 0.0)
+               for k, g in enumerate(g_q)]
+        return es, g_q
 
     # ---------------- barrier force on eps (ops/barrier.py:46) ---------
     def bar_force(e):
