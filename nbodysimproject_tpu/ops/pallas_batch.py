@@ -32,17 +32,19 @@ _SUB = 8  # VPU sublanes
 
 def _verlet_multistep_kernel(pos_ref, vel_ref, mass_ref, eps2_ref,
                              out_pos_ref, out_vel_ref, *, n: int, dim: int,
-                             n_steps: int, h: float, G: float):
+                             n_steps: int, h: float, G: float,
+                             unroll: int = 1):
     nd = n * dim
     # per-coordinate (8, L) blocks
     pos = [pos_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
     vel = [vel_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
-    mass = [mass_ref[i * _SUB:(i + 1) * _SUB, :] for i in range(n)]
     eps2 = eps2_ref[...]
 
     hf = np.float32(h)
     h2 = np.float32(0.5 * h)
-    Gf = np.float32(G)
+    # G folded into the masses: one fewer multiply per pair
+    gmass = [np.float32(G) * mass_ref[i * _SUB:(i + 1) * _SUB, :]
+             for i in range(n)]
 
     def accel(pos):
         acc = [jnp.zeros_like(pos[0]) for _ in range(nd)]
@@ -55,33 +57,42 @@ def _verlet_multistep_kernel(pos_ref, vel_ref, mass_ref, eps2_ref,
                     dxs.append(dx)
                     r2 = r2 + dx * dx
                 inv_r = jax.lax.rsqrt(r2)
-                w = Gf * inv_r * inv_r * inv_r
-                wi = mass[j] * w
-                wj = mass[i] * w
+                w = inv_r * inv_r * inv_r
+                wi = gmass[j] * w
+                wj = gmass[i] * w
                 for a in range(dim):
                     acc[i * dim + a] = acc[i * dim + a] - wi * dxs[a]
                     acc[j * dim + a] = acc[j * dim + a] + wj * dxs[a]
         return acc
 
-    # velocity-Verlet with end-of-step acceleration reuse: a(q_{k+1})
-    # computed at the end of step k IS a(q) of step k+1 — identical
-    # values, half the force evaluations
-    def body(_, carry):
-        pos = carry[:nd]
-        vel = carry[nd:2 * nd]
-        acc = carry[2 * nd:]
-        vel = [v + h2 * a for v, a in zip(vel, acc)]
-        pos = [p + hf * v for p, v in zip(pos, vel)]
+    # kick-drift form: the two adjacent half-kicks of consecutive
+    # velocity-Verlet steps fuse into one full kick (v lives at the
+    # half-step inside the loop; half-kicks only at the two ends) —
+    # same trajectory as velocity-Verlet, 6 fewer vector ops per step
+    def one(pos, velh, acc):
+        pos = [p + hf * v for p, v in zip(pos, velh)]
         acc = accel(pos)
-        vel = [v + h2 * a for v, a in zip(vel, acc)]
-        return tuple(pos) + tuple(vel) + tuple(acc)
+        velh = [v + hf * a for v, a in zip(velh, acc)]
+        return pos, velh, acc
 
+    def body(_, carry):
+        pos = list(carry[:nd])
+        velh = list(carry[nd:2 * nd])
+        acc = list(carry[2 * nd:])
+        for _u in range(unroll):
+            pos, velh, acc = one(pos, velh, acc)
+        return tuple(pos) + tuple(velh) + tuple(acc)
+
+    assert n_steps % unroll == 0
     acc0 = accel(pos)
-    out = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), body,
-                            tuple(pos) + tuple(vel) + tuple(acc0))
+    velh = [v + h2 * a for v, a in zip(vel, acc0)]
+    out = jax.lax.fori_loop(np.int32(0), np.int32(n_steps // unroll), body,
+                            tuple(pos) + tuple(velh) + tuple(acc0))
     for k in range(nd):
         out_pos_ref[k * _SUB:(k + 1) * _SUB, :] = out[k]
-        out_vel_ref[k * _SUB:(k + 1) * _SUB, :] = out[nd + k]
+        # close the trailing half-step: v_T = v_{T+1/2} - (h/2) a_T
+        out_vel_ref[k * _SUB:(k + 1) * _SUB, :] = (
+            out[nd + k] - h2 * out[2 * nd + k])
 
 
 def _fold(x):  # (B,) -> (8, B/8)
@@ -90,7 +101,8 @@ def _fold(x):  # (B,) -> (8, B/8)
 
 
 def verlet_multistep(pos, vel, mass, eps2, *, h: float, G: float,
-                     n_steps: int, lanes: int = 512, interpret: bool = False):
+                     n_steps: int, lanes: int = 512, unroll: int = 1,
+                     interpret: bool = False):
     """Advance a (B, N, d) float32 batch n_steps velocity-Verlet steps
     entirely in VMEM.  eps2: (B,) squared softening per system.
     B must be a multiple of 8 * lanes.  Returns (pos, vel)."""
@@ -107,7 +119,7 @@ def verlet_multistep(pos, vel, mass, eps2, *, h: float, G: float,
         eps2_c = _fold(eps2)
 
         kernel = functools.partial(_verlet_multistep_kernel, n=n, dim=dim,
-                                   n_steps=n_steps, h=h, G=G)
+                                   n_steps=n_steps, h=h, G=G, unroll=unroll)
         L = B // _SUB
         grid = (L // lanes,)
         bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
@@ -136,7 +148,9 @@ def verlet_multistep(pos, vel, mass, eps2, *, h: float, G: float,
         return run()
 
 
-@functools.partial(jax.jit, static_argnames=("h", "G", "n_steps", "lanes"))
-def verlet_multistep_jit(pos, vel, mass, eps2, h, G, n_steps, lanes=512):
+@functools.partial(jax.jit,
+                   static_argnames=("h", "G", "n_steps", "lanes", "unroll"))
+def verlet_multistep_jit(pos, vel, mass, eps2, h, G, n_steps, lanes=512,
+                        unroll=1):
     return verlet_multistep(pos, vel, mass, eps2, h=h, G=G,
-                            n_steps=n_steps, lanes=lanes)
+                            n_steps=n_steps, lanes=lanes, unroll=unroll)

@@ -41,6 +41,22 @@ def test_matches_xla_scan():
                                rtol=1e-7, atol=1e-8)
 
 
+def test_unroll_matches_unrolled():
+    """unroll > 1 is a pure scheduling change: identical float32 output
+    (the op sequence per step is unchanged, only the loop trip count)."""
+    from nbodysimproject_tpu.ops.pallas_batch import verlet_multistep
+
+    cfg, (states, dyns) = _batch(B=16)
+    p1, v1 = verlet_multistep(states.pos, states.vel, states.mass,
+                              states.step_s2, h=0.01, G=1.0, n_steps=40,
+                              lanes=2, unroll=1, interpret=True)
+    p4, v4 = verlet_multistep(states.pos, states.vel, states.mass,
+                              states.step_s2, h=0.01, G=1.0, n_steps=40,
+                              lanes=2, unroll=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p4))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v4))
+
+
 def test_momentum_conserved():
     from nbodysimproject_tpu.ops.pallas_batch import verlet_multistep
 
