@@ -116,6 +116,20 @@ class SimConfig:
     # folding and the rematerialised eps* backward (scoped-VMEM limit)
     # eat the residency win.
     use_fused_analysis: bool = False
+    # Large-N force engine for verlet-mode rollouts through the facade
+    # and `integrators.largen.largen_rollout`:
+    #  "direct"        — the few-body dense-einsum / pallas-tiled path
+    #                    (exact; O(N^2))
+    #  "p3m"           — smooth-split FFT mesh + banded short-range
+    #                    pass (ops/pm_force.py; d=2, ~0.1% p99 force
+    #                    error, 12x direct at N=1e6)
+    #  "direct_pallas" — force the tiled Pallas direct kernel
+    #  "auto"          — p3m when N >= pm_auto_min_n and d == 2, else
+    #                    tiled direct
+    force_mode: str = "direct"
+    pm_grid: int = 256                   # P3M mesh cells per side
+    pm_r_cut_cells: float = 4.0          # short-range split radius
+    pm_auto_min_n: int = 32768           # "auto" crossover (bench-measured)
 
     def copy(self) -> "SimConfig":
         """Shallow copy, API parity with sim_config.py:59-62."""

@@ -174,7 +174,16 @@ class NBodySimulation:
         self._n_bodies = int(m_np.size)
 
         # --- integrator construction -------------------------------------
-        if mode == "ham_soft":
+        # Large-N force engines (P3M / tiled direct) bypass the few-body
+        # calibration: it builds dense (N, N) pairwise intermediates that
+        # do not fit HBM at N >= 1e5, and its adaptive schedules target
+        # close few-body encounters the softened large-N regime smooths
+        # away.  integrators/largen.py is the step engine instead.
+        self._largen = (self.cfg.force_mode != "direct"
+                        and mode == "verlet")
+        if self._largen:
+            self._init_largen()
+        elif mode == "ham_soft":
             self._init_hamsoft()
         else:
             self._init_classical()
@@ -184,6 +193,7 @@ class NBodySimulation:
         # --- startup corrector (simulation.py:150-157) --------------------
         if (
             not skip_init_corrector
+            and not self._largen
             and self.G != 0.0
             and not self._adaptive_softening
             and not self._adaptive_timestep
@@ -237,9 +247,32 @@ class NBodySimulation:
         self._dtype = jnp.float64
         self.G = 0.0
         self._integrator_mode = "verlet"
+        self._largen = False
         self._state = None
         self._dyn = None
         self.softening_energy_delta = 0.0
+
+    def _init_largen(self):
+        """Large-N engine construction: a fixed-softening, fixed-step
+        DynParams (no pairwise calibration — that is O(N^2) dense and
+        meaningless for mesh forces).  h/n_sub come straight from the
+        requested dt."""
+        from ..core.state import DynParams
+
+        z = self._as_dtype(0.0)
+        self._dyn = DynParams(
+            G=self._as_dtype(self.G), s0=self._as_dtype(self._s0),
+            min_softening=self._as_dtype(self._min_softening),
+            max_softening=self._as_dtype(self._max_softening),
+            softening_scale=self._as_dtype(self._softening_scale),
+            k_soft=self._as_dtype(self.cfg.k_soft), mu_soft=z,
+            chi_eps=z, k_wall=self._as_dtype(self.cfg.k_wall),
+            alpha_run=z, omega_spr0=z,
+            h_sub_ref=self._as_dtype(self.cfg.initial_dt),
+            n_sub=jnp.int32(1),
+            frozen_dt=self._as_dtype(self.cfg.initial_dt))
+        self.h_sub_ref = float(self.cfg.initial_dt)
+        self.largen_info = None
 
     def _init_classical(self):
         """Integrator.__init__ (integrator.py:37-61) via the jitted
@@ -453,6 +486,9 @@ class NBodySimulation:
         """simulation.py:667-676 -> integrator.step / HSI.step."""
         if dt == 0.0 or self._n_bodies == 0 or self._disabled:
             return
+        if self._largen:
+            self._largen_run(float(dt), 1)
+            return
         dt = float(dt)
         self._top_dt = abs(dt)
         n_sub = self._n_sub_for(dt)
@@ -468,6 +504,9 @@ class NBodySimulation:
         scan — the fast path for long rollouts (no per-step host sync)."""
         if dt == 0.0 or n_steps <= 0 or self._n_bodies == 0 or self._disabled:
             return
+        if self._largen:
+            self._largen_run(float(dt), int(n_steps))
+            return
         dt = float(dt)
         self._top_dt = abs(dt)
         n_sub = self._n_sub_for(dt)
@@ -476,6 +515,22 @@ class NBodySimulation:
         self._has_integrated = True
         self._last_dt = dt
         self.softening_energy_delta = float(self._state.softening_energy_delta)
+
+    def _largen_run(self, dt: float, n_steps: int) -> None:
+        """Fused large-N rollout (integrators/largen.py): the whole
+        n_steps KDK-leapfrog under one jit with the P3M / tiled-direct
+        force engine."""
+        from ..integrators.largen import largen_rollout
+
+        self._top_dt = abs(dt)
+        q, v, info = largen_rollout(
+            self._state.pos, self._state.vel, self._state.mass,
+            self._as_dtype(self._s0), self._as_dtype(self.G),
+            self._as_dtype(dt), n_steps, self.cfg)
+        self._state = self._state.replace(pos=q, vel=v)
+        self.largen_info = info
+        self._has_integrated = True
+        self._last_dt = dt
 
     def _hamsoft_schedule(self, dt: float) -> int:
         """strang_substeps (HSI:781-888): pi-budget mu raise each call,

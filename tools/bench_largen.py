@@ -22,14 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # scalar device_get: block_until_ready can return early through the
+    # TPU tunnel, which would inflate the numbers
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def _time(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -91,6 +98,43 @@ def main():
             row["speedup_vs_direct"] = direct / t_p3m
         results[str(N)] = row
         print(f"[large-n] N={N}: {row}", file=sys.stderr)
+
+    # ---- whole-simulation rollouts (integrators/largen.py) -----------
+    # 50-step fused KDK leapfrog: measures the product capability (the
+    # reference cannot integrate at these N at all), amortising the
+    # fixed per-dispatch latency over the rollout
+    import nbodysimproject_tpu as nb
+    from nbodysimproject_tpu.integrators.largen import largen_rollout
+
+    T = 50
+    rollouts = {}
+    for N in (10_000, 100_000, 1_000_000):
+        q = jnp.asarray(rng.normal(0, 1.0, (N, 2)), jnp.float32)
+        m = jnp.asarray(np.abs(rng.normal(1, 0.3, N)) / N, jnp.float32)
+        v = jnp.asarray(rng.normal(0, 0.3, (N, 2)), jnp.float32)
+        Ng = {10_000: 256, 100_000: 640}.get(N, 3072)
+        eps = jnp.float32(6.0 / Ng)
+        row = {}
+        for mode in ("p3m", "direct_pallas"):
+            if mode == "direct_pallas" and N >= 1_000_000:
+                continue  # 9.6 s/eval: rollout would take ~8 min
+            cfg = nb.SimConfig(integrator_mode="verlet", force_mode=mode,
+                               pm_grid=Ng, pm_r_cut_cells=6.0)
+            fn = lambda q, v: largen_rollout(q, v, m, eps,
+                                             jnp.float32(1.0),
+                                             jnp.float32(1e-4), T, cfg)
+            try:
+                t, out = _time(fn, q, v, reps=2)
+                row[f"{mode}_50step_s"] = t
+                row[f"{mode}_steps_per_s"] = T / t
+                if mode == "p3m":
+                    row["p3m_n_dropped_max"] = int(out[2].n_dropped_max)
+            except Exception as e:
+                print(f"[large-n] rollout {mode} N={N} failed: {e}",
+                      file=sys.stderr)
+        rollouts[str(N)] = row
+        print(f"[large-n] rollout N={N}: {row}", file=sys.stderr)
+    results["rollouts_50step"] = rollouts
 
     os.makedirs("data", exist_ok=True)
     with open("data/bench_largen.json", "w") as f:
