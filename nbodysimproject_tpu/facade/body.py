@@ -1,8 +1,9 @@
 """Body record and zero-copy body view.
 
 Parity: ``minbody/body.py:12`` (Body) and ``minbody/body_view.py:22``
-(BodyView).  Only meaningful for d = 2 configurations, like the
-reference.
+(BodyView).  The reference is d = 2 only; here z/vz extend both types
+to d = 3 configurations (SimConfig(dim=3)) — they default to 0.0 and
+are ignored for d = 2 simulations.
 """
 
 from __future__ import annotations
@@ -17,6 +18,8 @@ class Body:
     y: float
     vx: float = 0.0
     vy: float = 0.0
+    z: float = 0.0
+    vz: float = 0.0
 
 
 class BodyView:
@@ -63,6 +66,15 @@ class BodyView:
     y = property(lambda s: s._get_pos(1), lambda s, v: s._set_pos(1, v))
     vx = property(lambda s: s._get_vel(0), lambda s, v: s._set_vel(0, v))
     vy = property(lambda s: s._get_vel(1), lambda s, v: s._set_vel(1, v))
+    # d = 3 extension: reads return 0.0 on 2-D simulations; writes to a
+    # 2-D simulation are rejected (there is no slot to store them)
+    z = property(lambda s: s._get_pos(2) if s._dim() > 2 else 0.0,
+                 lambda s, v: s._set_pos(2, v))
+    vz = property(lambda s: s._get_vel(2) if s._dim() > 2 else 0.0,
+                  lambda s, v: s._set_vel(2, v))
+
+    def _dim(self) -> int:
+        return int(self._sim._pos.shape[1])
 
     def __repr__(self) -> str:  # pragma: no cover
         return (f"BodyView(i={self._i}, m={self.mass:g}, "

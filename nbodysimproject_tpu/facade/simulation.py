@@ -215,8 +215,16 @@ class NBodySimulation:
         d = int(self.cfg.dim)
         if bodies is not None:
             m = np.array([b.mass for b in bodies], dtype=np.float64)
-            q = np.array([[b.x, b.y] for b in bodies], dtype=np.float64)
-            v = np.array([[b.vx, b.vy] for b in bodies], dtype=np.float64)
+            if d == 3:
+                q = np.array([[b.x, b.y, getattr(b, "z", 0.0)]
+                              for b in bodies], dtype=np.float64)
+                v = np.array([[b.vx, b.vy, getattr(b, "vz", 0.0)]
+                              for b in bodies], dtype=np.float64)
+            else:
+                q = np.array([[b.x, b.y] for b in bodies],
+                             dtype=np.float64)
+                v = np.array([[b.vx, b.vy] for b in bodies],
+                             dtype=np.float64)
         elif masses is not None:
             m = np.asarray(masses, dtype=np.float64).ravel()
             q = np.atleast_2d(np.asarray(positions, dtype=np.float64))

@@ -66,6 +66,29 @@ def test_bodies_constructor():
     np.testing.assert_allclose(sim.mass, [1.0, 0.5])
 
 
+def test_bodies_constructor_3d():
+    """d=3 extension: Body.z/vz feed a dim=3 simulation; BodyView
+    exposes them (the reference is strictly 2-D)."""
+    bodies = [nb.Body(1.0, 0.0, 0.0, z=0.5, vz=-0.1),
+              nb.Body(0.5, 1.0, 0.0, 0.0, 1.0)]
+    sim = nb.NBodySimulation(config=nb.SimConfig(dim=3),
+                             bodies=bodies, integrator_mode="verlet",
+                             softening=1e-3, skip_cm_recenter=True,
+                             skip_init_corrector=True)
+    assert sim.n_bodies == 2
+    np.testing.assert_allclose(sim.pos[0], [0.0, 0.0, 0.5])
+    view = sim.bodies[0]
+    assert view.z == pytest.approx(0.5)
+    assert view.vz == pytest.approx(-0.1)
+    view.z = 0.7
+    assert sim.pos[0, 2] == pytest.approx(0.7)
+    # 2-D sims read z as 0.0
+    sim2 = nb.NBodySimulation(bodies=[nb.Body(1.0, 0.0, 0.0),
+                                      nb.Body(1.0, 1.0, 0.0)],
+                              integrator_mode="verlet")
+    assert sim2.bodies[0].z == 0.0
+
+
 def test_snapshot_key_structure():
     """Snapshot carries the reference's key aliases
     (simulation.py:373-394)."""
