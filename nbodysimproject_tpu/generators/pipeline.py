@@ -38,7 +38,12 @@ from ..utils.seeding import set_global_seed
 # stability verdict thresholds are at the 1e-2 level, far above f32
 # noise).
 _PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True,
-                      analysis_n_sub_cap=256)
+                      analysis_n_sub_cap=256,
+                      # fused multi-step kernel between metric samples:
+                      # 496 vs 408 systems/s warm at B=16k full mode
+                      # (bench 2026-08; compile is ~2x the scan path,
+                      # amortised at dataset batch sizes)
+                      use_fused_analysis=True)
 NBodySimulation = functools.partial(_NBodySimulation, config=_PIPE_CFG)
 
 #: cohort mixture of the reference pipeline (ml_training_pipeline.py:39-135)

@@ -28,8 +28,11 @@ import numpy as np
 
 B = int(os.environ.get("HEADLINE_B", 131072))
 N_STEPS = int(os.environ.get("HEADLINE_STEPS", 1000))
-SEED = 42
-CSV = "data/stability_131k.csv.gz"
+SEED = int(os.environ.get("HEADLINE_SEED", 42))
+CSV = os.environ.get("HEADLINE_CSV",
+                     f"data/stability_{B // 1024}k.csv.gz")
+METRICS_JSON = os.environ.get("HEADLINE_METRICS",
+                              "data/headline_metrics.json")
 
 
 def log(msg):
@@ -116,9 +119,9 @@ def main():
         log(f"GBDT[{group}]: AUROC={m['auroc']:.4f} "
             f"BA={m['balanced_accuracy']:.4f} ({m['train_seconds']:.0f}s)")
 
-    with open("data/headline_metrics.json", "w") as f:
+    with open(METRICS_JSON, "w") as f:
         json.dump(results, f, indent=2)
-    log("wrote data/headline_metrics.json")
+    log(f"wrote {METRICS_JSON}")
 
 
 if __name__ == "__main__":
