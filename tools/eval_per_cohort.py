@@ -17,6 +17,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
@@ -66,7 +68,7 @@ def main():
     trainer.compute_optimal_threshold(X_val2, y_val2)
 
     prob = np.asarray(trainer.predict_proba(X_te2)).ravel()
-    pred = (prob >= trainer.threshold).astype(np.float64)
+    pred = (prob > trainer.optimal_threshold).astype(np.float64)
 
     results = {"overall": _binary_metrics(y_te2, pred, prob),
                "n_test": int(len(y_te2)), "cohorts": {}}
@@ -78,6 +80,17 @@ def main():
                "stable_fraction": float(yt.mean())}
         if 0.0 < yt.mean() < 1.0:
             row.update(_binary_metrics(yt, pp, pb))
+            # the global Youden threshold can sit entirely above/below a
+            # skewed cohort's scores (BA collapses to 0.5 even at high
+            # AUROC); report the cohort-optimal threshold BA as the
+            # achievable within-cohort discrimination
+            best_ba = 0.0
+            for t in np.quantile(pb, np.linspace(0.01, 0.99, 99)):
+                pt = (pb > t).astype(np.float64)
+                tpr = pt[yt == 1].mean() if (yt == 1).any() else 0.0
+                tnr = 1.0 - pt[yt == 0].mean() if (yt == 0).any() else 0.0
+                best_ba = max(best_ba, 0.5 * (tpr + tnr))
+            row["balanced_accuracy_cohort_threshold"] = float(best_ba)
         results["cohorts"][str(c)] = row
         print(f"[cohort] {c}: n={row['n']} stable={row['stable_fraction']:.3f} "
               f"auroc={row.get('auroc', float('nan')):.4f} "
