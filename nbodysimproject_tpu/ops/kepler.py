@@ -5,15 +5,21 @@ quad-angle argument reduction (:25-46), Newton iteration on chi with
 fixed-point / 2-cycle termination (:64-79), f/g and fdot/gdot update
 (:80-91).
 
-TPU-first design (SURVEY.md section 7, hard part #3): all loops are
-fixed-trip-count with per-lane convergence masking so the solver vmaps
-over bodies and over the system batch:
+TPU-first design (SURVEY.md section 7, hard part #3): bounded control
+flow with per-lane convergence masking so the solver vmaps over bodies
+and over the system batch:
 
-* argument reduction: |z| shrinks 4x per conditional quartering; 40
-  static iterations cover |z| up to ~1.2e24 (the reference's while loop
-  rarely needs more than ~10),
-* Newton: 64 masked iterations matching the reference cap, freezing a
-  lane when chi_new == chi or chi_new == prev2 (2-cycle) or f' == 0.
+* Stumpff functions in closed form — trig for z > 0, hyperbolic for
+  z < 0, series near zero — instead of the reference's series +
+  quad-angle recursion (kepler_solver.py:25-46).  The recursion costs
+  ~80 sequential loop iterations per evaluation inside the Newton
+  loop; the closed form is O(1) and exact for all |z| the recursion
+  could reach (cosh overflows at the same |z| ~ 5e5 where repeated
+  c0 -> 2 c0^2 - 1 squaring would),
+* Newton: while_loop capped at 64 iterations (the reference cap),
+  freezing a lane when chi_new == chi or chi_new == prev2 (2-cycle) or
+  f' == 0; under vmap the loop exits when every lane is frozen
+  (typical Kepler drifts converge in <= 7 iterations).
 
 Dimension-parameterised: works for d = 2 or 3 (the reference hard-codes
 d = 2 via hypot, kepler_solver.py:53).
@@ -24,62 +30,57 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_REDUCTION_ITERS = 40
 _NEWTON_ITERS = 64
+_SERIES_CUTOFF = 0.3
 
 
 def stumpff(z):
-    """c0(z), c1(z), c2(z), c3(z) elementwise (kepler_solver.py:25-46)."""
+    """c0(z), c1(z), c2(z), c3(z) elementwise (kepler_solver.py:25-46).
+
+    Closed form: for z > 0 (elliptic) c0 = cos(s), c1 = sin(s)/s with
+    s = sqrt(z); for z < 0 (hyperbolic) the cosh/sinh analogues; and
+    c2 = (1 - c0)/z, c3 = (1 - c1)/z.  Near zero those quotients
+    cancel catastrophically, so |z| <= 0.3 uses the Taylor series
+    (truncation < 3e-15 at the cutoff).  Replaces the reference's
+    series + quad-angle recursion, which is both approximate
+    (kepler_solver.py:36-45 uses low-order identities) and ~80
+    sequential iterations per call.
+    """
     z = jnp.asarray(z)
+    small = jnp.abs(z) <= _SERIES_CUTOFF
 
-    # -- downward argument reduction: quarter z until |z| <= 0.1 --------
-    def red_body(_, carry):
-        zz, n = carry
-        small = jnp.abs(zz) <= 0.1
-        zz = jnp.where(small, zz, zz * 0.25)
-        n = jnp.where(small, n, n + 1)
-        return zz, n
+    # ---- series branch (argument zeroed where unused) -------------------
+    zs = jnp.where(small, z, 0.0)
+    z2 = zs * zs
+    z3 = z2 * zs
+    z4 = z2 * z2
+    z5 = z4 * zs
+    z6 = z4 * z2
+    c0_s = (1 - zs / 2 + z2 / 24 - z3 / 720 + z4 / 40320 - z5 / 3628800
+            + z6 / 479001600)
+    c1_s = (1 - zs / 6 + z2 / 120 - z3 / 5040 + z4 / 362880
+            - z5 / 39916800 + z6 / 6227020800)
+    c2_s = (0.5 - zs / 24 + z2 / 720 - z3 / 40320 + z4 / 3628800
+            - z5 / 479001600)
+    c3_s = (1 / 6 - zs / 120 + z2 / 5040 - z3 / 362880 + z4 / 39916800
+            - z5 / 6227020800)
 
-    z_red, n_up = jax.lax.fori_loop(
-        0, _REDUCTION_ITERS, red_body, (z, jnp.zeros_like(z, dtype=jnp.int32))
+    # ---- closed-form branch (safe sqrt arguments where unused) ----------
+    pos = z > 0
+    s_e = jnp.sqrt(jnp.where(pos, z, 1.0))
+    s_h = jnp.sqrt(jnp.where(pos, 1.0, -z))
+    c0_t = jnp.where(pos, jnp.cos(s_e), jnp.cosh(s_h))
+    c1_t = jnp.where(pos, jnp.sin(s_e) / s_e, jnp.sinh(s_h) / s_h)
+    z_safe = jnp.where(small, 1.0, z)
+    c2_t = (1.0 - c0_t) / z_safe
+    c3_t = (1.0 - c1_t) / z_safe
+
+    return (
+        jnp.where(small, c0_s, c0_t),
+        jnp.where(small, c1_s, c1_t),
+        jnp.where(small, c2_s, c2_t),
+        jnp.where(small, c3_s, c3_t),
     )
-
-    z2 = z_red * z_red
-    c0 = 1 - z_red * 0.5 + z2 / 24 - z_red * z2 / 720 + z2 * z2 / 40320
-    c1 = 1 - z_red / 6 + z2 / 120 - z_red * z2 / 5040 + z2 * z2 / 362880
-    c2 = 0.5 - z_red / 24 + z2 / 720 - z_red * z2 / 40320
-    c3 = 1 / 6 - z_red / 120 + z2 / 5040 - z_red * z2 / 362880
-
-    # -- upward recursion: exact quad-angle identities --------------------
-    # c0(4z) = 2 c0^2 - 1,  c1(4z) = c0 c1,
-    # c2(4z) = c1^2 / 2,    c3(4z) = (c2 + c0 c3) / 4.
-    # NOTE: the reference's recursion (kepler_solver.py:36-45) uses a
-    # low-order approximation of these identities (e.g. c0' = 4 c0 - 3)
-    # that is only accurate for small z; since the reference restricts
-    # itself to |z| <= 0.1 before recursing, both agree in its working
-    # regime, but we use the exact identities so the solver stays
-    # correct for arbitrarily large |z| (long Kepler drifts).
-    def up_body(_, carry):
-        zz, n, c0_, c1_, c2_, c3_ = carry
-        act = n > 0
-        zz_n = jnp.where(act, zz * 4.0, zz)
-        c0_n = 2.0 * c0_ * c0_ - 1.0
-        c1_n = c0_ * c1_
-        c2_n = 0.5 * c1_ * c1_
-        c3_n = 0.25 * (c2_ + c0_ * c3_)
-        return (
-            zz_n,
-            jnp.where(act, n - 1, n),
-            jnp.where(act, c0_n, c0_),
-            jnp.where(act, c1_n, c1_),
-            jnp.where(act, c2_n, c2_),
-            jnp.where(act, c3_n, c3_),
-        )
-
-    _, _, c0, c1, c2, c3 = jax.lax.fori_loop(
-        0, _REDUCTION_ITERS, up_body, (z_red, n_up, c0, c1, c2, c3)
-    )
-    return c0, c1, c2, c3
 
 
 @jax.jit
@@ -121,8 +122,12 @@ def kepler_propagate(r, v, mu, dt):
     # (c1, c2 in place of c2, c3 — kepler_solver.py:69-70), introducing
     # an O(chi^3) error in the converged chi; we solve the correct
     # equation.
-    def newton_body(_, carry):
-        chi, prev1, prev2, done = carry
+    def newton_cond(carry):
+        _chi, _p1, _p2, done, it = carry
+        return jnp.logical_and(it < _NEWTON_ITERS, jnp.logical_not(done))
+
+    def newton_body(carry):
+        chi, prev1, prev2, done, it = carry
         z = alpha * chi * chi
         _c0, _c1, c2, c3 = stumpff(z)
         f = (
@@ -143,11 +148,15 @@ def kepler_propagate(r, v, mu, dt):
         done_out = done | fp_zero | converged
         prev2_out = jnp.where(done, prev2, prev1)
         prev1_out = jnp.where(done, prev1, chi_new)
-        return chi_out, prev1_out, prev2_out, done_out
+        return chi_out, prev1_out, prev2_out, done_out, it + 1
 
-    chi, _, _, _ = jax.lax.fori_loop(
-        0, _NEWTON_ITERS, newton_body,
-        (chi0, nan, nan, jnp.zeros((), bool)),
+    # while_loop (not fori): a typical Kepler drift converges in <= 7
+    # iterations, so the early exit saves ~90% of the Newton work; under
+    # vmap the loop runs until every lane is frozen, with the reference's
+    # 64-iteration cap as the bound (kepler_solver.py:66).
+    chi, _, _, _, _ = jax.lax.while_loop(
+        newton_cond, newton_body,
+        (chi0, nan, nan, jnp.zeros((), bool), jnp.zeros((), jnp.int32)),
     )
 
     z = alpha * chi * chi

@@ -4,6 +4,7 @@ item 3 target: >= 130 systems/s; round-1 measured 65/s)."""
 
 import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -13,6 +13,7 @@ Writes data/bench_largen.json.
 import json
 import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")

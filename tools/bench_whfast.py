@@ -17,6 +17,7 @@ Writes data/bench_whfast.json.
 import json
 import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -6,7 +6,10 @@ Usage: dist_worker.py <coordinator_port> <process_id> <num_processes>
        <out_dir> <n_systems> <n_steps>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -19,6 +19,7 @@ Writes data/headline_metrics.json.
 import json
 import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
@@ -53,11 +54,29 @@ def main():
     jax.block_until_ready(mass)
     log(f"generation: {time.perf_counter() - t0:.1f}s")
 
+    # analyse in fixed-size chunks: keeps the per-bucket jitted program
+    # shapes identical across chunks (compile once, reuse) and bounds
+    # HBM residency, which is what makes the 1M-system sweep fit on one
+    # chip.  id_offset preserves the per-system MEGNO key derivation,
+    # so a chunked run is bit-identical to a monolithic one.
+    CHUNK = min(B, int(os.environ.get("HEADLINE_CHUNK", 131072)))
+    soft_np = np.asarray(soft)
     t0 = time.perf_counter()
-    df = analyze_population(mass, pos, vel, mask, _PIPE_CFG, G=1.0,
-                            softening=np.asarray(soft), min_softening=0.0,
-                            dt=0.01, n_steps=N_STEPS, mode="full",
-                            seed=SEED, show_progress=False)
+    parts = []
+    for start in range(0, B, CHUNK):
+        sl = slice(start, start + CHUNK)
+        part = analyze_population(mass[sl], pos[sl], vel[sl], mask[sl],
+                                  _PIPE_CFG, G=1.0, softening=soft_np[sl],
+                                  min_softening=0.0, dt=0.01,
+                                  n_steps=N_STEPS, mode="full", seed=SEED,
+                                  show_progress=False, id_offset=start)
+        part["simulation_id"] = np.arange(start, start + len(part))
+        parts.append(part)
+        if B > CHUNK:
+            log(f"chunk {start // CHUNK + 1}/{-(-B // CHUNK)}: "
+                f"{time.perf_counter() - t0:.1f}s elapsed")
+    df = parts[0] if len(parts) == 1 else __import__("pandas").concat(
+        parts, ignore_index=True)
     t_an = time.perf_counter() - t0
     df["system_type"] = types
     log(f"analysis: {t_an:.1f}s -> {B / t_an:.1f} systems/s")
