@@ -41,38 +41,20 @@ from jax.experimental import pallas as pl
 _SUB = 8  # VPU sublanes
 
 
-def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
-                              k_ref, mu_ref, alpha_ref, flo_ref, cap_ref,
-                              h_ref, nsub_ref,
-                              out_pos_ref, out_vel_ref, out_eps_ref,
-                              out_pi_ref, *, n: int, dim: int, n_steps: int,
-                              n_sub_max: int, G: float, k_wall: float,
-                              eta: float, jcap: float, bexp: int):
+def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
+                   flo, cap, eps_seed, G: float, k_wall: float, eta: float,
+                   jcap: float, bexp: int):
+    """Construct the in-kernel ham_soft physics closures over a set of
+    (8, L) VPU blocks.  Shared by the plain multi-step kernel and the
+    MEGNO-fused kernel so the two cannot drift apart."""
     nd = n * dim
     f32 = jnp.float32
-
-    pos = [pos_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
-    vel = [vel_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
-    mass = [mass_ref[i * _SUB:(i + 1) * _SUB, :] for i in range(n)]
-    eps = eps_ref[...]
-    pi = pi_ref[...]
-    k_s = k_ref[...]
-    mu = mu_ref[...]
-    alpha = alpha_ref[...]
-    flo = flo_ref[...]
-    cap = cap_ref[...]
-    h = h_ref[...]
-    nsub = nsub_ref[...]  # float32 copy of the per-system substep count
 
     Gf = np.float32(G)
     kw = np.float32(k_wall)
     etaf = np.float32(eta)
     jcapf = np.float32(jcap)
     inv_pi = np.float32(1.0 / math.pi)
-
-    valid = [m > 0.0 for m in mass]
-    inv_m = [jnp.where(v, 1.0 / jnp.maximum(m, 1e-30), 0.0)
-             for m, v in zip(mass, valid)]
 
     def pair_r2(pos):
         r2 = {}
@@ -112,7 +94,10 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
         state; kernel matrices are recomputed in the reverse sweep
         (hand-written remat: Mosaic cannot lower jax.checkpoint, and
         storing AD residuals blows the 16M scoped-VMEM budget)."""
-        h0 = jnp.clip(eps, flo, cap)
+        # SPH h_i seed: the kernel-entry eps (the fixed point is
+        # seed-insensitive at 8 iterations; keeping the entry value
+        # matches the original single-kernel behaviour exactly)
+        h0 = jnp.clip(eps_seed, flo, cap)
         iters = [[h0 for _ in range(n)]]
         for _ in range(8):
             prev = iters[-1]
@@ -268,12 +253,104 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
         pi = pi - h2 * (dU - bar_force(eps))
         return vel, pi
 
+    # ------------ one masked Strang substep (shared trip body) ---------
+    def strang_trip(pos, vel, eps, pi, es, grad, h, active):
+        """Advance one Strang substep where ``active``; identity
+        elsewhere.  The (eps*, grad) cache carries across the
+        trailing-S/leading-S boundary (identical q)."""
+        vel1, eps1, pi1 = s_half(pos, vel, eps, pi, es, grad, h)
+        vel1, pi1 = v_half_kick(pos, vel1, eps1, pi1, h)
+        pos1 = [p + h * v for p, v in zip(pos, vel1)]
+        vel1, pi1 = v_half_kick(pos1, vel1, eps1, pi1, h)
+        es1, grad1 = eps_star_and_grad(pos1)
+        vel1, eps1, pi1 = s_half(pos1, vel1, eps1, pi1, es1, grad1, h)
+
+        sel = lambda a, b: jnp.where(active, a, b)
+        return ([sel(a, b) for a, b in zip(pos1, pos)],
+                [sel(a, b) for a, b in zip(vel1, vel)],
+                sel(eps1, eps), sel(pi1, pi), sel(es1, es),
+                [sel(a, b) for a, b in zip(grad1, grad)])
+
+    # ------- variational (tangent-map) acceleration (tangent.py:16) ----
+    def tangent_accel(pos, dr, eps):
+        """delta_a_i = G sum_j m_j [ddx/r^3 - 3 (dx . ddx) dx / r^5]
+        with softened r^2 = |q_j - q_i|^2 + eps^2; contributions of
+        pairs with an invalid member are zero (pair_mask semantics)."""
+        eps2 = eps * eps
+        acc = [jnp.zeros_like(pos[0]) for _ in range(nd)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                pairv = valid[i] & valid[j]
+                r2 = eps2
+                dxs, ddxs = [], []
+                for a in range(dim):
+                    dx = pos[j * dim + a] - pos[i * dim + a]
+                    ddx = dr[j * dim + a] - dr[i * dim + a]
+                    dxs.append(dx)
+                    ddxs.append(ddx)
+                    r2 = r2 + dx * dx
+                inv_r2 = 1.0 / r2
+                inv_r3 = inv_r2 * jax.lax.rsqrt(r2)
+                dot = dxs[0] * ddxs[0]
+                for a in range(1, dim):
+                    dot = dot + dxs[a] * ddxs[a]
+                coeff = 3.0 * dot * inv_r2 * inv_r3
+                mj = jnp.where(pairv, mval[j], 0.0)
+                mi = jnp.where(pairv, mval[i], 0.0)
+                for a in range(dim):
+                    term = ddxs[a] * inv_r3 - coeff * dxs[a]
+                    acc[i * dim + a] = acc[i * dim + a] + Gf * mj * term
+                    acc[j * dim + a] = acc[j * dim + a] - Gf * mi * term
+        return acc
+
+    class _Ops:
+        pass
+
+    ops = _Ops()
+    ops.eps_star_and_grad = eps_star_and_grad
+    ops.strang_trip = strang_trip
+    ops.tangent_accel = tangent_accel
+    return ops
+
+
+def _read_common(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref, k_ref,
+                 mu_ref, alpha_ref, flo_ref, cap_ref, h_ref, nsub_ref,
+                 n: int, dim: int):
+    nd = n * dim
+    pos = [pos_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+    vel = [vel_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+    mass = [mass_ref[i * _SUB:(i + 1) * _SUB, :] for i in range(n)]
+    valid = [m > 0.0 for m in mass]
+    inv_m = [jnp.where(v, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+             for m, v in zip(mass, valid)]
+    scal = (eps_ref[...], pi_ref[...], k_ref[...], mu_ref[...],
+            alpha_ref[...], flo_ref[...], cap_ref[...], h_ref[...],
+            nsub_ref[...])
+    return pos, vel, mass, valid, inv_m, scal
+
+
+def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
+                              k_ref, mu_ref, alpha_ref, flo_ref, cap_ref,
+                              h_ref, nsub_ref,
+                              out_pos_ref, out_vel_ref, out_eps_ref,
+                              out_pi_ref, *, n: int, dim: int, n_steps: int,
+                              n_sub_max: int, G: float, k_wall: float,
+                              eta: float, jcap: float, bexp: int):
+    nd = n * dim
+    f32 = jnp.float32
+    pos, vel, mass, valid, inv_m, scal = _read_common(
+        pos_ref, vel_ref, mass_ref, eps_ref, pi_ref, k_ref, mu_ref,
+        alpha_ref, flo_ref, cap_ref, h_ref, nsub_ref, n, dim)
+    eps, pi, k_s, mu, alpha, flo, cap, h, nsub = scal
+
+    ops = _build_physics(n, dim, mass, valid, inv_m, k_s, mu, alpha, flo,
+                         cap, eps, G, k_wall, eta, jcap, bexp)
+
     # ---------------- fused trip loop -----------------------------------
     # trip t advances substep (t mod n_sub_max) of macro step
     # (t div n_sub_max); a lane is active when its substep index is
-    # below its own n_sub.  The (eps*, grad) cache carries across the
-    # trailing-S/leading-S boundary (identical q).
-    es0, grad0 = eps_star_and_grad(pos)
+    # below its own n_sub.
+    es0, grad0 = ops.eps_star_and_grad(pos)
 
     def body(t, carry):
         pos = list(carry[:nd])
@@ -283,21 +360,9 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
 
         sub_idx = jnp.remainder(t, np.int32(n_sub_max)).astype(f32)
         active = sub_idx < nsub
-
-        vel1, eps1, pi1 = s_half(pos, vel, eps, pi, es, grad, h)
-        vel1, pi1 = v_half_kick(pos, vel1, eps1, pi1, h)
-        pos1 = [p + h * v for p, v in zip(pos, vel1)]
-        vel1, pi1 = v_half_kick(pos1, vel1, eps1, pi1, h)
-        es1, grad1 = eps_star_and_grad(pos1)
-        vel1, eps1, pi1 = s_half(pos1, vel1, eps1, pi1, es1, grad1, h)
-
-        sel = lambda a, b: jnp.where(active, a, b)
-        pos = [sel(a, b) for a, b in zip(pos1, pos)]
-        vel = [sel(a, b) for a, b in zip(vel1, vel)]
-        grad = [sel(a, b) for a, b in zip(grad1, grad)]
-        return (tuple(pos) + tuple(vel)
-                + (sel(eps1, eps), sel(pi1, pi), sel(es1, es))
-                + tuple(grad))
+        pos, vel, eps, pi, es, grad = ops.strang_trip(
+            pos, vel, eps, pi, es, grad, h, active)
+        return tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad)
 
     carry0 = tuple(pos) + tuple(vel) + (eps, pi, es0) + tuple(grad0)
     out = jax.lax.fori_loop(np.int32(0),
