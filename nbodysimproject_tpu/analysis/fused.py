@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.state import SimState
-from ..diagnostics.megno import megno_scan
 from ..diagnostics.metrics import step_metrics
 from ..ops.pallas_hamsoft import hamsoft_multistep
 from .stability import _running_update, _mean, _std, _rel_drift
@@ -121,9 +120,24 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
     ang_mom_drift = jax.vmap(_rel_drift)(L1, L0)
 
     if mode == "full" and megno_steps > 0:
-        st1, megno, lyap, slope_med = jax.vmap(
-            lambda s, d, k: megno_scan(s, d, cfg, k, megno_steps, dt,
-                                       n_sub_max=n_sub_max))(st1, dyns, keys)
+        # MEGNO tail fused in VMEM (ops/pallas_hamsoft.py): after the
+        # 16x fused integration, the 100-step XLA megno_scan dominated
+        # full-mode analysis; this keeps the tangent map in-kernel.
+        # (The XLA path's hist_* bookkeeping updates during MEGNO steps
+        # are dropped — they feed no output column.)
+        from ..diagnostics.megno import init_tangent
+        from ..ops.pallas_hamsoft import hamsoft_megno_multistep
+
+        dr0, dv0 = jax.vmap(init_tangent)(keys, st1)
+        po, vo, eo, pio, megno, lyap, slope_med = hamsoft_megno_multistep(
+            st1.pos, st1.vel, states.mass, st1.eps, st1.pi, dr0, dv0,
+            k_soft=dyns.k_soft, mu=dyns.mu_soft, alpha=dyns.alpha_run,
+            eps_min=dyns.min_softening, eps_max=dyns.max_softening, h=h,
+            n_sub=n_sub, dt=dt, n_steps=megno_steps, n_sub_max=n_sub_max,
+            G=g_static, k_wall=float(cfg.k_wall), eta=float(cfg.eta),
+            jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
+            lanes=lanes)
+        st1 = _states_with(states, (po, vo, eo, pio))
     else:
         megno = jnp.full((B,), 2.0, dtype)
         lyap = jnp.full((B,), jnp.inf, dtype)

@@ -375,6 +375,107 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
     out_pi_ref[...] = out[2 * nd + 1]
 
 
+def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
+                          k_ref, mu_ref, alpha_ref, flo_ref, cap_ref,
+                          h_ref, nsub_ref, dt_ref, dr_ref, dv_ref,
+                          out_pos_ref, out_vel_ref, out_eps_ref,
+                          out_pi_ref, out_acc_ref, out_t_ref, out_ys_ref,
+                          *, n: int, dim: int, n_steps: int,
+                          n_sub_max: int, G: float, k_wall: float,
+                          eta: float, jcap: float, bexp: int):
+    """MEGNO continuation fused with the integrator (VMEM-resident).
+
+    Per macro step (diagnostics/megno.py:67-87, itself the parity
+    port of minbody/evolution_features.py:47-66):
+        advance n_sub Strang substeps (masked to the lane's schedule),
+        dr += dv dt;  da = tangent_accel;  dv += da dt;  t += dt,
+        the reference's tiny-norm renormalisation quirk,
+        accum += (|dv|/|dr|) t dt;  Y_t = 2 accum / t  -> ys[t].
+    ``ys`` is written per step so the host can take the slope median
+    (megno_slope_med) without keeping history in registers.
+    """
+    nd = n * dim
+    f32 = jnp.float32
+    pos, vel, mass, valid, inv_m, scal = _read_common(
+        pos_ref, vel_ref, mass_ref, eps_ref, pi_ref, k_ref, mu_ref,
+        alpha_ref, flo_ref, cap_ref, h_ref, nsub_ref, n, dim)
+    eps, pi, k_s, mu, alpha, flo, cap, h, nsub = scal
+    dt = dt_ref[...]
+    dr = [dr_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+    dv = [dv_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
+
+    ops = _build_physics(n, dim, mass, valid, inv_m, k_s, mu, alpha, flo,
+                         cap, eps, G, k_wall, eta, jcap, bexp)
+    es0, grad0 = ops.eps_star_and_grad(pos)
+
+    def macro_body(step_i, carry):
+        pos = list(carry[:nd])
+        vel = list(carry[nd:2 * nd])
+        eps, pi, es = carry[2 * nd:2 * nd + 3]
+        grad = list(carry[2 * nd + 3:3 * nd + 3])
+        dr = list(carry[3 * nd + 3:4 * nd + 3])
+        dv = list(carry[4 * nd + 3:5 * nd + 3])
+        accum = carry[5 * nd + 3]
+        tt = carry[5 * nd + 4]
+
+        def trip(t, c):
+            p = list(c[:nd])
+            v = list(c[nd:2 * nd])
+            e, q, s = c[2 * nd:2 * nd + 3]
+            g = list(c[2 * nd + 3:])
+            active = t.astype(f32) < nsub
+            p, v, e, q, s, g = ops.strang_trip(p, v, e, q, s, g, h, active)
+            return tuple(p) + tuple(v) + (e, q, s) + tuple(g)
+
+        c = jax.lax.fori_loop(
+            np.int32(0), np.int32(n_sub_max), trip,
+            tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad))
+        pos = list(c[:nd])
+        vel = list(c[nd:2 * nd])
+        eps, pi, es = c[2 * nd:2 * nd + 3]
+        grad = list(c[2 * nd + 3:])
+
+        # ---- MEGNO update (megno.py:73-87) ----------------------------
+        dr = [r + v * dt for r, v in zip(dr, dv)]
+        da = ops.tangent_accel(pos, dr, eps)
+        dv = [v + a * dt for v, a in zip(dv, da)]
+        tt = tt + dt
+        nr2 = dr[0] * dr[0]
+        for r in dr[1:]:
+            nr2 = nr2 + r * r
+        norm_r = jnp.sqrt(nr2)
+        # reference quirk: divides by the tiny norm then treats it as 1
+        tiny = norm_r < 1e-12
+        scale = jnp.where(tiny, norm_r, 1.0)
+        dr = [r / scale for r in dr]
+        dv = [v / scale for v in dv]
+        norm_r = jnp.where(tiny, 1.0, norm_r)
+        nv2 = dv[0] * dv[0]
+        for v in dv[1:]:
+            nv2 = nv2 + v * v
+        norm_v = jnp.sqrt(nv2)
+        accum = accum + (norm_v / norm_r) * tt * dt
+        y = 2.0 * accum / tt
+        out_ys_ref[pl.ds(step_i * _SUB, _SUB), :] = y
+
+        return (tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad)
+                + tuple(dr) + tuple(dv) + (accum, tt))
+
+    zero = jnp.zeros_like(eps)
+    carry0 = (tuple(pos) + tuple(vel) + (eps, pi, es0) + tuple(grad0)
+              + tuple(dr) + tuple(dv) + (zero, zero))
+    out = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), macro_body,
+                            carry0)
+
+    for k in range(nd):
+        out_pos_ref[k * _SUB:(k + 1) * _SUB, :] = out[k]
+        out_vel_ref[k * _SUB:(k + 1) * _SUB, :] = out[nd + k]
+    out_eps_ref[...] = out[2 * nd]
+    out_pi_ref[...] = out[2 * nd + 1]
+    out_acc_ref[...] = out[5 * nd + 3]
+    out_t_ref[...] = out[5 * nd + 4]
+
+
 def _fold(x):  # (B,) -> (8, B/8)
     B = x.shape[0]
     return x.reshape(_SUB, B // _SUB)
@@ -457,3 +558,83 @@ def hamsoft_multistep_jit(pos, vel, mass, eps, pi, k_soft, mu, alpha,
                              h=h, n_sub=n_sub, n_steps=n_steps,
                              n_sub_max=n_sub_max, G=G, k_wall=k_wall,
                              eta=eta, jcap=jcap, bexp=bexp, lanes=lanes)
+
+
+def hamsoft_megno_multistep(pos, vel, mass, eps, pi, dr, dv, *, k_soft, mu,
+                            alpha, eps_min, eps_max, h, n_sub, dt,
+                            n_steps: int, n_sub_max: int, G: float = 1.0,
+                            k_wall: float = 1e9, eta: float = 1.35,
+                            jcap: float = 0.02, bexp: int = 5,
+                            lanes: int = 128, interpret: bool = False):
+    """MEGNO continuation: advance the batch ``n_steps`` macro steps
+    with the tangent map fused in VMEM (the full-mode analysis tail,
+    diagnostics/megno.py:49-101).
+
+    ``dr``/``dv`` are the (B, N, d) initial tangent vectors
+    (``init_tangent``).  Returns (pos, vel, eps, pi, megno,
+    lyapunov_time, slope_med)."""
+    B, n, dim = pos.shape
+    nd = n * dim
+    f32 = jnp.float32
+
+    def run():
+        fold_c = lambda arr: jnp.concatenate(
+            [_fold(arr[:, i, a]) for i in range(n) for a in range(dim)], 0)
+        pos_c, vel_c, dr_c, dv_c = map(fold_c, (pos, vel, dr, dv))
+        mass_c = jnp.concatenate([_fold(mass[:, i]) for i in range(n)], 0)
+        scalars = [jnp.asarray(x, f32) * jnp.ones((B,), f32)
+                   for x in (eps, pi, k_soft, mu, alpha, eps_min, eps_max,
+                             h, jnp.asarray(n_sub, f32), dt)]
+        folded = [_fold(s) for s in scalars]
+
+        kernel = functools.partial(
+            _hamsoft_megno_kernel, n=n, dim=dim, n_steps=n_steps,
+            n_sub_max=n_sub_max, G=G, k_wall=k_wall, eta=eta, jcap=jcap,
+            bexp=bexp)
+        L = B // _SUB
+        grid = (L // lanes,)
+        bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs(nd * _SUB), bs(nd * _SUB), bs(n * _SUB)]
+            + [bs(_SUB)] * 10 + [bs(nd * _SUB), bs(nd * _SUB)],
+            out_specs=(bs(nd * _SUB), bs(nd * _SUB), bs(_SUB), bs(_SUB),
+                       bs(_SUB), bs(_SUB), bs(n_steps * _SUB)),
+            out_shape=(jax.ShapeDtypeStruct((nd * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((nd * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((n_steps * _SUB, L), f32)),
+            interpret=interpret,
+        )(pos_c, vel_c, mass_c, *folded, dr_c, dv_c)
+        out_pos, out_vel, out_eps, out_pi, out_acc, out_t, out_ys = outs
+
+        def unfold(block):
+            coords = [block[k * _SUB:(k + 1) * _SUB, :].reshape(B)
+                      for k in range(nd)]
+            return jnp.stack(coords, axis=1).reshape(B, n, dim)
+
+        accum = out_acc.reshape(B)
+        tt = out_t.reshape(B)
+        # final MEGNO / Lyapunov time (megno.py:92-93)
+        Y = 2.0 * accum / jnp.maximum(tt, 1e-300)
+        lyap = jnp.where(Y == 0.0, jnp.inf, tt / jnp.abs(Y))
+        # per-step slope median (megno.py:96-100)
+        if n_steps >= 2:
+            ys = out_ys.reshape(n_steps, _SUB, L).reshape(n_steps, B)
+            slopes = (ys[1:] - ys[:-1]) / jnp.asarray(dt, f32)
+            slope_med = jnp.median(slopes, axis=0)
+        else:
+            slope_med = jnp.zeros((B,), f32)
+        return (unfold(out_pos), unfold(out_vel), out_eps.reshape(B),
+                out_pi.reshape(B), Y, lyap, slope_med)
+
+    if interpret:
+        return run()
+    from jax._src.config import enable_x64 as _x64_scope
+
+    with _x64_scope(False):
+        return run()

@@ -135,3 +135,72 @@ class TestHamsoftFusedKernel:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(pio), np.asarray(out.pi),
                                    rtol=1e-3, atol=5e-5)
+
+
+class TestHamsoftMegnoFusedKernel:
+    def test_interpret_parity_vs_megno_scan(self):
+        """The MEGNO-fused kernel reproduces the XLA megno_scan tail
+        (state advance + tangent map + accumulator + slope median) to
+        f32 rounding."""
+        import jax
+        import jax.numpy as jnp
+
+        import nbodysimproject_tpu as nb
+        from nbodysimproject_tpu.parallel.batch_engine import build_batch
+        from nbodysimproject_tpu.diagnostics.megno import (init_tangent,
+                                                           megno_scan)
+        from nbodysimproject_tpu.ops.pallas_hamsoft import (
+            hamsoft_megno_multistep)
+
+        B, N, T, DT = 16, 3, 4, 0.01
+        cfg = nb.SimConfig(integrator_mode="ham_soft", fast_float32=True)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        base_q = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],
+                             jnp.float32)
+        base_v = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [-0.5, 0.0]],
+                             jnp.float32)
+        pos = base_q[None] + 0.01 * jax.random.normal(k1, (B, N, 2),
+                                                      jnp.float32)
+        vel = base_v[None] + 0.01 * jax.random.normal(k2, (B, N, 2),
+                                                      jnp.float32)
+        mass = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.1], jnp.float32),
+                                (B, N))
+        mask = jnp.ones((B, N), bool)
+        states, dyns = build_batch(mass, pos, vel, mask, cfg, 1.0, 5e-2,
+                                   0.0, DT)
+        n_sub = np.asarray(dyns.n_sub)
+        nsm = int(n_sub.max())
+        keys = jax.vmap(jax.random.fold_in,
+                        (None, 0))(jax.random.PRNGKey(9),
+                                   jnp.arange(B, dtype=jnp.uint32))
+
+        st1, Y, lyap, slope = jax.vmap(
+            lambda s, d, k: megno_scan(s, d, cfg, k, T,
+                                       jnp.float32(DT), n_sub_max=nsm))(
+            states, dyns, keys)
+
+        dr0, dv0 = jax.vmap(init_tangent)(keys, states)
+        h = DT / np.maximum(n_sub, 1).astype(np.float32)
+        po, vo, eo, pio, Yk, lyapk, slopek = hamsoft_megno_multistep(
+            states.pos, states.vel, states.mass, states.eps, states.pi,
+            dr0, dv0, k_soft=dyns.k_soft, mu=dyns.mu_soft,
+            alpha=dyns.alpha_run, eps_min=dyns.min_softening,
+            eps_max=dyns.max_softening, h=jnp.asarray(h),
+            n_sub=dyns.n_sub, dt=jnp.float32(DT), n_steps=T,
+            n_sub_max=nsm, G=1.0, k_wall=float(cfg.k_wall),
+            eta=float(cfg.eta), jcap=float(cfg.j_max_cap),
+            bexp=int(cfg.barrier_exponent), lanes=B // 8, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(po), np.asarray(st1.pos),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(eo), np.asarray(st1.eps),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Yk), np.asarray(Y),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(slopek), np.asarray(slope),
+                                   rtol=1e-3, atol=1e-4)
+        lyap_np = np.asarray(lyap)
+        lyapk_np = np.asarray(lyapk)
+        fin = np.isfinite(lyap_np)
+        np.testing.assert_array_equal(fin, np.isfinite(lyapk_np))
+        np.testing.assert_allclose(lyapk_np[fin], lyap_np[fin], rtol=1e-3)
