@@ -368,8 +368,26 @@ class BatchStabilityAnalyzer:
                 for k, v in feats.items():
                     res[f"initial_{k}"] = v
             res_np = {k: np.asarray(v) for k, v in res.items()}
+            # schema parity with analyze_population: per-body IC columns
+            # + sim metadata (serialize_to_dict, stability_analyzer.py:521)
+            res_np.update(serialize_ic_columns(
+                states.mass, states.pos, states.vel,
+                np.asarray(jax.device_get(states.mask)),
+                G=np.asarray(jax.device_get(dyns.G), np.float64),
+                softening=np.asarray(jax.device_get(dyns.s0), np.float64),
+                min_softening=np.asarray(
+                    jax.device_get(dyns.min_softening), np.float64),
+                cfg=cfg))
             for j, i in enumerate(idxs):
-                row = {k: float(v[j]) for k, v in res_np.items()}
+                row = {}
+                for k, v in res_np.items():
+                    val = v[j]
+                    if isinstance(val, str):
+                        row[k] = val
+                    elif isinstance(val, (np.integer, int)):
+                        row[k] = int(val)
+                    else:
+                        row[k] = float(val)
                 row["mode"] = self.mode
                 self._postprocess(row, simulations[i])
                 row["simulation_id"] = i

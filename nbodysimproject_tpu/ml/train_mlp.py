@@ -195,6 +195,28 @@ class MLPTrainer:
             json.dump(metadata, f, indent=2)
         print("Model metadata saved to model_metadata.json")
 
+    @classmethod
+    def load_model(cls, prefix: str = "", csv_path: str = ""):
+        """Rebuild an inference-ready trainer from ``save_model``
+        artifacts (the reference reloads mlp_model.pth + scaler.pkl the
+        same way for its >= 1e5x-speedup serving claim, README.md:56;
+        scalers via scaler_utils.py:20-29)."""
+        from flax import serialization
+
+        from .model_zoo import make_mlp
+
+        with open(prefix + "model_metadata.json") as f:
+            meta = json.load(f)
+        trainer = cls(csv_path, features="pre")
+        trainer.feature_names = meta["feature_names"]
+        trainer.optimal_threshold = float(meta["optimal_threshold"])
+        _model, params0 = make_mlp(int(meta["input_dim"]))
+        with open(prefix + "mlp_model.msgpack", "rb") as f:
+            trainer.params = serialization.from_bytes(params0, f.read())
+        with open(prefix + "scaler.pkl", "rb") as f:
+            trainer.scaler = pickle.load(f)
+        return trainer
+
     def run(self):
         data = self.load_and_prepare_data()
         if data is None:

@@ -192,3 +192,32 @@ class TestMLPipeline:
         finally:
             os.chdir(cwd)
         assert metrics["auroc"] > 0.9
+
+    def test_mlp_save_load_round_trip(self, tmp_path):
+        """load_model rebuilds an inference-identical trainer from the
+        save_model artifacts (threshold, scaler, params, features)."""
+        rng = np.random.default_rng(1)
+        n = 300
+        X = rng.normal(size=(n, 4))
+        y = (X[:, 0] - X[:, 2] > 0).astype(float)
+        import pandas as pd
+
+        df = pd.DataFrame(X, columns=[f"f{i}" for i in range(4)])
+        df["is_stable"] = y
+        csv = tmp_path / "rt.csv"
+        df.to_csv(csv, index=False)
+
+        trainer = nb.MLPTrainer(str(csv))
+        data = trainer.load_and_prepare_data()
+        X_train, y_train, X_val, y_val, X_test, y_test = data
+        trainer.train(X_train, y_train, X_val, y_val, epochs=30, patience=10)
+        trainer.compute_optimal_threshold(X_val, y_val)
+        prefix = str(tmp_path / "m_")
+        trainer.save_model(prefix=prefix)
+
+        loaded = nb.MLPTrainer.load_model(prefix=prefix)
+        assert loaded.optimal_threshold == trainer.optimal_threshold
+        np.testing.assert_allclose(loaded.predict_proba(X_test),
+                                   trainer.predict_proba(X_test),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(loaded.scaler.mean_, trainer.scaler.mean_)
