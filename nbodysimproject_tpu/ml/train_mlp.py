@@ -90,9 +90,12 @@ class MLPTrainer:
         yv = jnp.asarray(y_val)
 
         # One jitted scan per epoch (per-batch dispatch is round-trip
-        # bound on a remote accelerator link)
+        # bound on a remote accelerator link).  The data arrays are
+        # explicit arguments, NOT closure captures: closed-over arrays
+        # are embedded in the lowered program, and at >= 1e6 rows that
+        # blows the axon remote-compile request limit (HTTP 413).
         @jax.jit
-        def train_epoch(params, opt_state, perm, key):
+        def train_epoch(params, opt_state, perm, key, Xd, yd, Xv, yv):
             def body(carry, idx):
                 params, opt_state, key = carry
                 key, dk = jax.random.split(key)
@@ -124,7 +127,7 @@ class MLPTrainer:
             perm = rng.permutation(n)[: steps * batch_size].reshape(
                 steps, batch_size)
             params, opt_state, key, ep_loss_j, val_loss_j = train_epoch(
-                params, opt_state, jnp.asarray(perm), key)
+                params, opt_state, jnp.asarray(perm), key, Xd, yd, Xv, yv)
             ep_loss = float(ep_loss_j)
             val_loss = float(val_loss_j)
             if epoch % 10 == 0:

@@ -48,6 +48,15 @@ def main():
 
     log(f"device={jax.devices()[0]} B={B} steps={N_STEPS}")
 
+    if os.environ.get("HEADLINE_REUSE") == "1" and os.path.exists(CSV):
+        # resume mode: keep the persisted dataset, redo training only
+        import pandas as pd
+
+        log(f"reusing existing {CSV}")
+        df = pd.read_csv(CSV, comment="#")
+        t_an = float("nan")
+        return finish(df, CSV, t_an, reused=True)
+
     t0 = time.perf_counter()
     mass, pos, vel, mask, soft, types = diverse_population(
         jax.random.PRNGKey(SEED), B, n_slots=8)
@@ -88,7 +97,14 @@ def main():
     t0 = time.perf_counter()
     StabilityDataset.save(CSV, df, include_scaler=True)
     log(f"saved {CSV} in {time.perf_counter() - t0:.1f}s")
+    return finish(df, CSV, t_an)
 
+
+def finish(df, CSV, t_an, reused=False):
+    """Training + metrics on a persisted dataset (separated so a
+    crashed/killed training phase can resume with HEADLINE_REUSE=1
+    without redoing the TPU analysis)."""
+    B = len(df)
     results = {
         "dataset": {
             "path": CSV,
@@ -97,8 +113,8 @@ def main():
             "stable_fraction": float(df["is_stable"].mean()),
             "n_steps": N_STEPS,
             "dt": 0.01,
-            "analysis_seconds": t_an,
-            "systems_per_second": B / t_an,
+            "analysis_seconds": None if reused else t_an,
+            "systems_per_second": None if reused else B / t_an,
             "cohorts": {k: int(v) for k, v in
                         df["system_type"].value_counts().items()},
         },
