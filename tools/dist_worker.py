@@ -30,6 +30,16 @@ def main():
                              out_dir=out_dir, n_steps=int(n_steps),
                              mode="full", show_progress=False)
     print(f"[worker {pid}] done", flush=True)
+    # The shard and its statistics are already on disk; the shutdown
+    # barrier is cleanup only.  On a loaded single-core host the peers
+    # can drift minutes apart, so a barrier DEADLINE_EXCEEDED here must
+    # not fail the run (the test validates output equality instead).
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # pragma: no cover - timing dependent
+        print(f"[worker {pid}] shutdown barrier skipped: "
+              f"{type(e).__name__}", flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
