@@ -393,6 +393,14 @@ def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
         accum += (|dv|/|dr|) t dt;  Y_t = 2 accum / t  -> ys[t].
     ``ys`` is written per step so the host can take the slope median
     (megno_slope_med) without keeping history in registers.
+
+    Loop structure: ONE flat fori over n_steps * n_sub_max trips (the
+    plain kernel's shape), with the MEGNO update predicated on the
+    last trip of each macro step — NOT an outer steps x inner substeps
+    nest.  Mosaic compiles the flat form in seconds; the nested form
+    with this carry size ran past 30 minutes at n = 8 slots before
+    being abandoned.  The predicated tangent pass costs one extra
+    pairwise sweep per trip (~2% of a Strang trip's work).
     """
     nd = n * dim
     f32 = jnp.float32
@@ -408,7 +416,7 @@ def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
                          cap, eps, G, k_wall, eta, jcap, bexp)
     es0, grad0 = ops.eps_star_and_grad(pos)
 
-    def macro_body(step_i, carry):
+    def body(t, carry):
         pos = list(carry[:nd])
         vel = list(carry[nd:2 * nd])
         eps, pi, es = carry[2 * nd:2 * nd + 3]
@@ -418,54 +426,51 @@ def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
         accum = carry[5 * nd + 3]
         tt = carry[5 * nd + 4]
 
-        def trip(t, c):
-            p = list(c[:nd])
-            v = list(c[nd:2 * nd])
-            e, q, s = c[2 * nd:2 * nd + 3]
-            g = list(c[2 * nd + 3:])
-            active = t.astype(f32) < nsub
-            p, v, e, q, s, g = ops.strang_trip(p, v, e, q, s, g, h, active)
-            return tuple(p) + tuple(v) + (e, q, s) + tuple(g)
+        sub_idx = jnp.remainder(t, np.int32(n_sub_max))
+        step_i = t // np.int32(n_sub_max)
+        active = sub_idx.astype(f32) < nsub
+        pos, vel, eps, pi, es, grad = ops.strang_trip(
+            pos, vel, eps, pi, es, grad, h, active)
 
-        c = jax.lax.fori_loop(
-            np.int32(0), np.int32(n_sub_max), trip,
-            tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad))
-        pos = list(c[:nd])
-        vel = list(c[nd:2 * nd])
-        eps, pi, es = c[2 * nd:2 * nd + 3]
-        grad = list(c[2 * nd + 3:])
-
-        # ---- MEGNO update (megno.py:73-87) ----------------------------
-        dr = [r + v * dt for r, v in zip(dr, dv)]
-        da = ops.tangent_accel(pos, dr, eps)
-        dv = [v + a * dt for v, a in zip(dv, da)]
-        tt = tt + dt
-        nr2 = dr[0] * dr[0]
-        for r in dr[1:]:
+        # ---- MEGNO update, applied on the macro-step boundary ---------
+        # (megno.py:73-87).  Computed every trip, selected on the last
+        # sub-trip: the fori stores below overwrite in trip order, so
+        # the boundary value lands last.
+        last = sub_idx == np.int32(n_sub_max - 1)
+        dr1 = [r + v * dt for r, v in zip(dr, dv)]
+        da = ops.tangent_accel(pos, dr1, eps)
+        dv1 = [v + a * dt for v, a in zip(dv, da)]
+        tt1 = tt + dt
+        nr2 = dr1[0] * dr1[0]
+        for r in dr1[1:]:
             nr2 = nr2 + r * r
         norm_r = jnp.sqrt(nr2)
         # reference quirk: divides by the tiny norm then treats it as 1
         tiny = norm_r < 1e-12
         scale = jnp.where(tiny, norm_r, 1.0)
-        dr = [r / scale for r in dr]
-        dv = [v / scale for v in dv]
+        dr1 = [r / scale for r in dr1]
+        dv1 = [v / scale for v in dv1]
         norm_r = jnp.where(tiny, 1.0, norm_r)
-        nv2 = dv[0] * dv[0]
-        for v in dv[1:]:
+        nv2 = dv1[0] * dv1[0]
+        for v in dv1[1:]:
             nv2 = nv2 + v * v
         norm_v = jnp.sqrt(nv2)
-        accum = accum + (norm_v / norm_r) * tt * dt
-        y = 2.0 * accum / tt
+        accum1 = accum + (norm_v / norm_r) * tt1 * dt
+        y = 2.0 * accum1 / tt1
         out_ys_ref[pl.ds(step_i * _SUB, _SUB), :] = y
 
+        sel = lambda a, b: jnp.where(last, a, b)
+        dr = [sel(a, b) for a, b in zip(dr1, dr)]
+        dv = [sel(a, b) for a, b in zip(dv1, dv)]
         return (tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad)
-                + tuple(dr) + tuple(dv) + (accum, tt))
+                + tuple(dr) + tuple(dv)
+                + (sel(accum1, accum), sel(tt1, tt)))
 
     zero = jnp.zeros_like(eps)
     carry0 = (tuple(pos) + tuple(vel) + (eps, pi, es0) + tuple(grad0)
               + tuple(dr) + tuple(dv) + (zero, zero))
-    out = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), macro_body,
-                            carry0)
+    out = jax.lax.fori_loop(np.int32(0),
+                            np.int32(n_steps * n_sub_max), body, carry0)
 
     for k in range(nd):
         out_pos_ref[k * _SUB:(k + 1) * _SUB, :] = out[k]
