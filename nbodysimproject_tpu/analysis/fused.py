@@ -119,12 +119,11 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
     energy_drift = jax.vmap(_rel_drift)(H1, H0)
     ang_mom_drift = jax.vmap(_rel_drift)(L1, L0)
 
-    if mode == "full" and megno_steps > 0:
-        # MEGNO tail fused in VMEM (ops/pallas_hamsoft.py): after the
-        # 16x fused integration, the 100-step XLA megno_scan dominated
-        # full-mode analysis; this keeps the tangent map in-kernel.
-        # (The XLA path's hist_* bookkeeping updates during MEGNO steps
-        # are dropped — they feed no output column.)
+    if mode == "full" and megno_steps > 0 and cfg.use_fused_megno:
+        # MEGNO tail fused in VMEM (ops/pallas_hamsoft.py), keeping the
+        # tangent map in-kernel.  (The XLA path's hist_* bookkeeping
+        # updates during MEGNO steps are dropped — they feed no output
+        # column.)
         from ..diagnostics.megno import init_tangent
         from ..ops.pallas_hamsoft import hamsoft_megno_multistep
 
@@ -138,6 +137,12 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
             jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
             lanes=lanes)
         st1 = _states_with(states, (po, vo, eo, pio))
+    elif mode == "full" and megno_steps > 0:
+        from ..diagnostics.megno import megno_scan
+
+        st1, megno, lyap, slope_med = jax.vmap(
+            lambda s, d, k: megno_scan(s, d, cfg, k, megno_steps, dt,
+                                       n_sub_max=n_sub_max))(st1, dyns, keys)
     else:
         megno = jnp.full((B,), 2.0, dtype)
         lyap = jnp.full((B,), jnp.inf, dtype)

@@ -116,6 +116,9 @@ class SimConfig:
     # folding and the rematerialised eps* backward (scoped-VMEM limit)
     # eat the residency win.
     use_fused_analysis: bool = False
+    # MEGNO continuation inside the fused analysis: kernel (True) vs
+    # vmapped XLA megno_scan (False).  Only read on the fused path.
+    use_fused_megno: bool = True
     # Large-N force engine for verlet-mode rollouts through the facade
     # and `integrators.largen.largen_rollout`:
     #  "direct"        — the few-body dense-einsum / pallas-tiled path
