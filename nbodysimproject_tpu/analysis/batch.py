@@ -378,6 +378,8 @@ class BatchStabilityAnalyzer:
                 min_softening=np.asarray(
                     jax.device_get(dyns.min_softening), np.float64),
                 cfg=cfg))
+            res_np["n_sub"] = n_subs.astype(np.int64)
+            res_np["n_sub_capped"] = n_subs > _n_sub_cap(cfg)
             for j, i in enumerate(idxs):
                 row = {}
                 for k, v in res_np.items():

@@ -42,8 +42,7 @@ def main():
 
     if not os.path.exists(csv):
         set_global_seed(1234)
-        pipe = MLTrainingPipeline(n_systems=n_systems, n_steps=n_steps,
-                                  mode="full")
+        pipe = MLTrainingPipeline(n_systems=n_systems, n_steps=n_steps)
         df = pipe.generate_focused_dataset("boundary")
         StabilityDataset.save(csv, df, include_scaler=False)
         print(f"[boundary] saved {csv} ({len(df)} rows, "
