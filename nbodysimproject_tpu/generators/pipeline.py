@@ -138,6 +138,33 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
     return mass, pos, vel, mask, soft, types
 
 
+def boundary_hier_population(key, n_systems: int, *, n_slots: int = 8,
+                             dtype=jnp.float32):
+    """Hierarchical triples straddling the stability edge.
+
+    The diverse mixture's hierarchical cohort (separation U(3,50),
+    floored at 5) is 93.7% stable, so a classifier can score well there
+    by reading the prior alone (within-cohort AUROC 0.55 on the 131k
+    eval).  This cohort samples separation U(2, 10) with velocity noise
+    U(0.05, 0.3), crossing the Mardling–Aarseth edge, so hierarchical
+    stability actually varies and must be predicted from the ICs.
+
+    Returns (mass, pos, vel, mask, softening, types) like
+    ``diverse_population``.
+    """
+    k_hp, k_noise, k_amp = jax.random.split(key, 3)
+    hp = jax.random.uniform(k_hp, (3, n_systems), dtype)
+    m, q, v, mask = hierarchical_triple_batch(
+        0.1 + hp[0] * 0.9, 0.1 + hp[1] * 1.9, 2.0 + hp[2] * 8.0,
+        n_slots=n_slots, dtype=dtype, min_separation=2.0)
+    amp = jax.random.uniform(k_amp, (n_systems, 1, 1), dtype,
+                             minval=0.05, maxval=0.3)
+    v = v + jax.random.normal(k_noise, v.shape, dtype) * amp
+    v = jnp.where(mask[..., None], v, 0.0)
+    soft = jnp.full((n_systems,), 0.01, dtype)
+    return m, q, v, mask, soft, ["hierarchical_boundary"] * n_systems
+
+
 class MLTrainingPipeline:
     def __init__(self, n_systems: int = 1000, n_steps: int = 1000,
                  dt: float = 0.01, seed: int = 0):

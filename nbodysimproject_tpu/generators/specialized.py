@@ -25,14 +25,20 @@ from .ic_generator import com_momentum_projection, com_recenter
 # batch-first builders
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_slots", "dtype"))
+@partial(jax.jit, static_argnames=("n_slots", "dtype", "min_separation"))
 def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
                               *, G=1.0, n_slots: int = 3,
-                              dtype=jnp.float64):
+                              dtype=jnp.float64,
+                              min_separation: float = 5.0):
     """(B,) parameter arrays -> (mass, pos, vel, mask) for a batch of
     hierarchical triples: an inner circular binary of unit semi-major
-    axis plus an outer body at max(separation, 5) on a circular orbit
-    around the total mass, COM momentum projected out."""
+    axis plus an outer body at max(separation, min_separation) on a
+    circular orbit around the total mass, COM momentum projected out.
+
+    ``min_separation`` defaults to the reference's floor of 5
+    (specialized_generators.py:22-64); the boundary-hardening cohort
+    lowers it to reach the Mardling–Aarseth stability edge
+    (a_outer/a_inner ~ 2.8 for coplanar prograde triples)."""
     r1 = jnp.asarray(mass_ratio1, dtype)
     r2 = jnp.asarray(mass_ratio2, dtype)
     sep = jnp.asarray(separation_ratio, dtype)
@@ -42,7 +48,7 @@ def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
     m1 = jnp.ones((B,), dtype)
     m2, m3 = r1, r2
     m12 = m1 + m2
-    a_outer = jnp.maximum(sep, 5.0)
+    a_outer = jnp.maximum(sep, min_separation)
 
     x1 = -m2 / m12
     x2 = m1 / m12

@@ -26,7 +26,8 @@ import jax
 # sitecustomize force-sets jax_platforms="axon,cpu"; pin CPU so this
 # tool never contends with a TPU dataset run (the tunnel is
 # single-client)
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("COHORT_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
