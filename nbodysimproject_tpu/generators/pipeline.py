@@ -139,7 +139,9 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
 
 
 def boundary_hier_population(key, n_systems: int, *, n_slots: int = 8,
-                             dtype=jnp.float32):
+                             dtype=jnp.float32,
+                             sep_range=(2.0, 10.0),
+                             noise_range=(0.05, 0.3)):
     """Hierarchical triples straddling the stability edge.
 
     The diverse mixture's hierarchical cohort (separation U(3,50),
@@ -152,13 +154,16 @@ def boundary_hier_population(key, n_systems: int, *, n_slots: int = 8,
     Returns (mass, pos, vel, mask, softening, types) like
     ``diverse_population``.
     """
+    s_lo, s_hi = float(sep_range[0]), float(sep_range[1])
+    a_lo, a_hi = float(noise_range[0]), float(noise_range[1])
     k_hp, k_noise, k_amp = jax.random.split(key, 3)
     hp = jax.random.uniform(k_hp, (3, n_systems), dtype)
     m, q, v, mask = hierarchical_triple_batch(
-        0.1 + hp[0] * 0.9, 0.1 + hp[1] * 1.9, 2.0 + hp[2] * 8.0,
-        n_slots=n_slots, dtype=dtype, min_separation=2.0)
+        0.1 + hp[0] * 0.9, 0.1 + hp[1] * 1.9,
+        s_lo + hp[2] * (s_hi - s_lo),
+        n_slots=n_slots, dtype=dtype, min_separation=s_lo)
     amp = jax.random.uniform(k_amp, (n_systems, 1, 1), dtype,
-                             minval=0.05, maxval=0.3)
+                             minval=a_lo, maxval=a_hi)
     v = v + jax.random.normal(k_noise, v.shape, dtype) * amp
     v = jnp.where(mask[..., None], v, 0.0)
     soft = jnp.full((n_systems,), 0.01, dtype)

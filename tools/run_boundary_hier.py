@@ -60,8 +60,14 @@ def main():
     if not os.path.exists(csv_bh):
         log(f"device={jax.devices()[0]} generating {n_boundary} "
             f"boundary-hier systems...")
+        sep_range = (float(os.environ.get("BH_SEP_LO", 2.0)),
+                     float(os.environ.get("BH_SEP_HI", 10.0)))
+        noise_range = (float(os.environ.get("BH_NOISE_LO", 0.05)),
+                       float(os.environ.get("BH_NOISE_HI", 0.3)))
+        log(f"sep={sep_range} noise={noise_range}")
         mass, pos, vel, mask, soft, types = boundary_hier_population(
-            jax.random.PRNGKey(777), n_boundary, n_slots=8)
+            jax.random.PRNGKey(777), n_boundary, n_slots=8,
+            sep_range=sep_range, noise_range=noise_range)
         jax.block_until_ready(mass)
         t0 = time.perf_counter()
         parts = []
