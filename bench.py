@@ -96,7 +96,11 @@ def main():
     # platform, which would inflate the number.
     from nbodysimproject_tpu.ops.pallas_batch import verlet_multistep_jit
 
-    B_FUSED = int(os.environ.get("BENCH_BATCH_FUSED", 1 << 20))
+    # 2^24 systems: large enough that the fixed per-dispatch tunnel
+    # latency (~30 ms) is <10% of the measurement (2^20 measured
+    # 2.1e10, 2^23 4.2e10, 2^24 4.4e10 — the kernel-marginal rate);
+    # ~1.6 GB of HBM traffic, well within one v5e chip.
+    B_FUSED = int(os.environ.get("BENCH_BATCH_FUSED", 1 << 24))
     rate = rate_xla
     B_best = B
     if dtype == jnp.float32 and dev.platform != "cpu" \
