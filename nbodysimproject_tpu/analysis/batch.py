@@ -230,28 +230,74 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     g_np = np.asarray(jax.device_get(G), np.float64)
     g_uniform = g_np.size == 1 or bool((g_np == g_np.flat[0]).all())
     _LANES = 128  # 256-lane blocks spill the 16M scoped-VMEM budget at N=8 slots
-    for b in np.unique(buckets):
-        idx = np.nonzero(buckets == b)[0]
-        # pad the group to a power-of-two size so repeated runs reuse
-        # compiled programs
+
+    def _run_group(idx, n_steps_run, mode_run, b, megno_run):
+        """Analyze the systems at ``idx`` (padded to a power of two so
+        repeated runs reuse compiled programs); returns unpadded column
+        dict."""
         bsz = 1 << int(np.ceil(np.log2(len(idx))))
         pad_idx = np.concatenate([idx, np.repeat(idx[:1], bsz - len(idx))])
         take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
         if (g_uniform and bsz % (8 * _LANES) == 0
-                and fused_path_applicable(cfg, mode, bsz, dtype, _LANES)):
+                and fused_path_applicable(cfg, mode_run, bsz, dtype,
+                                          _LANES)):
             r, _ = analyze_batch_fused(take(states), take(dyns), cfg,
-                                       keys[pad_idx], int(n_steps),
-                                       jnp.asarray(dt, dtype), mode,
-                                       int(b), megno_steps, _LANES,
+                                       keys[pad_idx], int(n_steps_run),
+                                       jnp.asarray(dt, dtype), mode_run,
+                                       int(b), megno_run, _LANES,
                                        float(g_np.flat[0]))
         else:
             r, _ = analyze_batch_jit(take(states), take(dyns), cfg,
-                                     keys[pad_idx], int(n_steps),
-                                     jnp.asarray(dt, dtype), mode, int(b),
-                                     megno_steps)
-        r = {k: np.asarray(jax.device_get(v))[:len(idx)]
-             for k, v in r.items()}
+                                     keys[pad_idx], int(n_steps_run),
+                                     jnp.asarray(dt, dtype), mode_run,
+                                     int(b), megno_run)
+        return {k: np.asarray(jax.device_get(v))[:len(idx)]
+                for k, v in r.items()}
+
+    # early-exit policy for the pathological tail (see cfg docstrings):
+    # high-n_sub systems dominate wall clock, and most of them blow up
+    # (|energy drift| > 10 -> forced unstable) within the first ~10% of
+    # steps.  Probe those buckets briefly in core mode, then run ONLY
+    # the survivors to the full horizon — survivors recompute from
+    # scratch, so their columns are bit-identical to a non-early-exit
+    # run; aborted rows keep their (already > threshold) probe drift,
+    # NaN chaos columns, and an early_exit marker.
+    probe_frac = float(getattr(cfg, "early_exit_probe", 0.0) or 0.0)
+    min_b = int(getattr(cfg, "early_exit_min_n_sub", 8))
+    early_rows = np.zeros(B, bool)
+
+    for b in np.unique(buckets):
+        idx = np.nonzero(buckets == b)[0]
+        r = None
+        if probe_frac > 0.0 and b >= min_b and n_steps >= 20:
+            n_probe = max(10, int(round(n_steps * probe_frac)))
+            rp = _run_group(idx, n_probe, "core", b, 0)
+            drift = np.asarray(rp["energy_drift"], np.float64)
+            bad = (~np.isfinite(drift)) | (np.abs(drift) > 10.0)
+            if bad.any():
+                early_rows[idx[bad]] = True
+                for k in ("MEGNO", "lyapunov_time", "megno_slope_med"):
+                    if k in rp:
+                        rp[k] = np.where(bad, np.nan, rp[k]).astype(
+                            rp[k].dtype)
+                surv = idx[~bad]
+                r = {k: np.array(v) for k, v in rp.items()}  # writable copies
+                if len(surv):
+                    rs = _run_group(surv, n_steps, mode, b, megno_steps)
+                    smask = ~bad
+                    for k, v in rs.items():
+                        if k not in r:
+                            r[k] = np.full(len(idx), np.nan, v.dtype) \
+                                if np.issubdtype(v.dtype, np.floating) \
+                                else np.zeros(len(idx), v.dtype)
+                        r[k][smask] = v
+        if r is None:
+            r = _run_group(idx, n_steps, mode, b, megno_steps)
         if mode == "full":
+            bsz = 1 << int(np.ceil(np.log2(len(idx))))
+            pad_idx = np.concatenate([idx,
+                                      np.repeat(idx[:1], bsz - len(idx))])
+            take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
             f = _features_batch_jit(take(states), take(dyns), cfg)
             f = {k: np.asarray(jax.device_get(v))[:len(idx)]
                  for k, v in f.items()}
@@ -275,6 +321,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     # labels; see cfg.analysis_n_sub_cap)
     res_np["n_sub"] = n_sub_raw.astype(np.int64)
     res_np["n_sub_capped"] = n_sub_raw > _n_sub_cap(cfg)
+    if probe_frac > 0.0:
+        res_np["early_exit"] = early_rows
     df = pd.DataFrame(res_np)
     df["mode"] = mode
     bad = (~np.isfinite(df["energy_drift"])) | (df["energy_drift"].abs() > 10)

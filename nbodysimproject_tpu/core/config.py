@@ -108,6 +108,17 @@ class SimConfig:
     # capped-50 cost); the frame records n_sub/n_sub_capped for
     # transparency.
     analysis_n_sub_cap: int = 0
+    # Early-exit probe for the batched analysis (0 = off).  High-n_sub
+    # buckets dominate wall clock and are mostly pathological systems
+    # that blow past the |drift| > 10 threshold almost immediately;
+    # with probe > 0, buckets with n_sub >= early_exit_min_n_sub first
+    # run ceil(probe * n_steps) steps in core mode, and only the
+    # survivors run the full horizon (from scratch — their columns are
+    # bit-identical to a non-early-exit run).  Aborted rows keep the
+    # probe's (already super-threshold) drift, NaN chaos columns, the
+    # forced-unstable label, and an `early_exit` marker column.
+    early_exit_probe: float = 0.0
+    early_exit_min_n_sub: int = 8
     # Use the fused multi-step Pallas kernel inside batched analysis
     # (analysis/fused.py).  Opt-in: the kernel beats the XLA scan
     # 2.4-2.7x on pure integration (bench.py), but at the pipeline's

@@ -177,3 +177,47 @@ class TestNSubCapPolicy:
             df_unc.loc[within, "is_stable"].values)
         np.testing.assert_array_equal(df_cap["n_sub_capped"].values,
                                       df_cap["n_sub"].values > 256)
+
+
+class TestEarlyExitPolicy:
+    def test_early_exit_labels_match_and_survivors_identical(self):
+        """Early-exit probe (cfg.early_exit_probe): aborted rows are
+        exactly the super-threshold blow-ups (label forced 0 both
+        ways), and surviving rows' columns are bit-identical to the
+        non-early-exit run (survivors recompute from scratch)."""
+        import jax
+        import jax.numpy as jnp
+
+        from nbodysimproject_tpu.analysis.batch import analyze_population
+        from nbodysimproject_tpu.core.config import SimConfig
+        from nbodysimproject_tpu.generators.ic_generator import (
+            generate_population)
+
+        m, q, v, mask = generate_population(
+            jax.random.PRNGKey(5), jnp.full((8,), 3, jnp.int32), n_slots=3,
+            position_scale=0.05, virial_fraction=1.5, perturbation=0.3,
+            softening=1e-4)
+        args = [np.asarray(m, np.float64), np.asarray(q, np.float64),
+                np.asarray(v, np.float64), np.asarray(mask)]
+        kw = dict(G=1.0, softening=1e-4, min_softening=0.0, dt=0.01,
+                  n_steps=40, mode="core", show_progress=False,
+                  include_ics=False)
+        base_kw = dict(analysis_n_sub_cap=256)
+        df_off = analyze_population(*args, SimConfig(**base_kw), **kw)
+        df_on = analyze_population(
+            *args, SimConfig(early_exit_probe=0.25, early_exit_min_n_sub=1,
+                             **base_kw), **kw)
+
+        np.testing.assert_array_equal(df_on["is_stable"].values,
+                                      df_off["is_stable"].values)
+        # aborted rows are pathological in BOTH runs
+        ee = df_on["early_exit"].values
+        assert df_on.loc[ee, "pathological_energy"].all() or not ee.any()
+        assert df_off.loc[ee, "pathological_energy"].all() or not ee.any()
+        # survivors: bit-identical numeric columns
+        surv = ~ee
+        for col in ("energy_drift", "angular_momentum_drift",
+                    "com_drift_mean", "is_stable"):
+            np.testing.assert_array_equal(
+                df_on.loc[surv, col].values, df_off.loc[surv, col].values,
+                err_msg=col)
