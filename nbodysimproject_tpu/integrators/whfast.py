@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.state import SimState
+from ..ops.forces import gravitational_force
 from ..ops.kepler import kepler_propagate
 
 
@@ -132,11 +133,50 @@ def interaction_potential(pos, m, G, s2):
     return V_true - V_kep
 
 
-def wh_interaction_accel(state: SimState, dyn):
-    """a_k = -(1/m_k) dV_int/dq_k via reverse-mode autodiff."""
+def wh_interaction_accel_ad(state: SimState, dyn):
+    """a_k = -(1/m_k) dV_int/dq_k via reverse-mode autodiff (the
+    correctness reference for the analytic form below)."""
     m = state.mass
     grad = jax.grad(interaction_potential)(state.pos, m, dyn.G, state.step_s2)
     return -grad / m[:, None]
+
+
+def wh_interaction_accel(state: SimState, dyn):
+    """a_int = -grad V_int / m in closed form.
+
+    -grad V_true / m is the standard softened direct acceleration (the
+    shared force kernel).  For the Kepler part, with
+    w_i = G m_i jac_i / (|jac_i|^2 + s2)^{3/2} (zero for i = 0):
+
+        grad_k V_kep = Mprev_k w_k - m_k * sum_{i > k} w_i
+
+    (the second term is the COM back-reaction of body k on every outer
+    Jacobi radius; an exclusive suffix sum).  Same values as the
+    autodiff of ``interaction_potential`` to rounding — tested — at a
+    fraction of the HBM traffic: reverse-mode materialises the (N, N)
+    backward intermediates twice, which dominated many-planet WHFast
+    once the Jacobi transforms went closed-form."""
+    m, q = state.mass, state.pos
+    s2 = state.step_s2
+    n = q.shape[0]
+    F = gravitational_force(q, m, eps=jnp.sqrt(s2), G=dyn.G,
+                            mask=state.mask)
+    msafe = jnp.where(m > 0.0, m, 1.0)
+    a_direct = F / msafe[:, None]
+
+    jac_pos, _ = to_jacobi(m, q, q)
+    cum = jnp.cumsum(m)
+    Mprev = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]])
+    live = (jnp.arange(n) >= 1) & (m > 0.0)
+    jr2 = jnp.sum(jac_pos * jac_pos, axis=1) + s2
+    jr = jnp.sqrt(jnp.where(live, jr2, 1.0))
+    w = jnp.where(live, dyn.G * m / (jr * jr * jr), 0.0)[:, None] * jac_pos
+    # S_k = sum_{i > k} w_i: total minus inclusive prefix
+    cw = jnp.cumsum(w, axis=0)
+    S = cw[-1][None, :] - cw
+    a_kep_grad = (Mprev / msafe)[:, None] * w - S
+    # a_int = a_direct + grad V_kep / m
+    return jnp.where((m > 0.0)[:, None], a_direct + a_kep_grad, 0.0)
 
 
 def whfast_substep(state: SimState, dyn, cfg, h) -> SimState:

@@ -167,3 +167,33 @@ def test_snapshot_restore_round_trip():
     clone.step(0.01)
     new.step(0.01)
     np.testing.assert_allclose(clone.pos, new.pos, rtol=1e-12)
+
+
+class TestWHFastAnalyticKick:
+    def test_analytic_kick_matches_autodiff(self):
+        """wh_interaction_accel (closed-form suffix-sum Kepler gradient)
+        equals reverse-mode AD of interaction_potential to rounding."""
+        import jax
+        import jax.numpy as jnp
+
+        import nbodysimproject_tpu as nb
+        from nbodysimproject_tpu.parallel.batch_engine import build_batch
+        from nbodysimproject_tpu.integrators import whfast as W
+
+        rng = np.random.default_rng(3)
+        for n in (3, 8, 50):
+            m = np.sort(rng.uniform(0.01, 1.0, n))[::-1].copy()
+            m[0] = 5.0
+            q = rng.normal(size=(n, 2)) * 3
+            v = rng.normal(size=(n, 2))
+            cfg = nb.SimConfig(integrator_mode="whfast")
+            st, dy = build_batch(
+                jnp.asarray(m)[None], jnp.asarray(q)[None],
+                jnp.asarray(v)[None], jnp.ones((1, n), bool), cfg,
+                1.0, 0.0, 0.0, 0.01)
+            s1 = jax.tree_util.tree_map(lambda x: x[0], st)
+            d1 = jax.tree_util.tree_map(lambda x: x[0], dy)
+            a_ad = np.asarray(W.wh_interaction_accel_ad(s1, d1))
+            a_cl = np.asarray(W.wh_interaction_accel(s1, d1))
+            np.testing.assert_allclose(a_cl, a_ad, rtol=1e-11,
+                                       atol=1e-13 * np.abs(a_ad).max())
