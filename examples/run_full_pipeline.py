@@ -31,12 +31,17 @@ def main(n_systems: int = 4096, n_steps: int = 500, csv_path: str = "stability_d
 
     nb.StabilityDataset.save(csv_path, df)
 
+    # features="pre": the honest protocol — pre-integration columns
+    # only.  Training on the full frame (the reference's own protocol)
+    # scores a meaningless ~1.0 AUROC because the post-integration
+    # group contains the quantities that define is_stable.
     print("\n=== MLP (flax/optax) ===")
-    trainer = nb.MLPTrainer(csv_path)
+    trainer = nb.MLPTrainer(csv_path, features="pre")
     mlp_metrics = trainer.run()
 
     print("\n=== GBDT ===")
-    gbdt_metrics = nb.ml.train_lightgbm.train_gbdt(csv_path, cv=3)
+    gbdt_metrics = nb.ml.train_lightgbm.train_gbdt(csv_path, cv=3,
+                                                   features="pre")
 
     print("\n=== summary ===")
     print("MLP :", {k: round(v, 4) for k, v in (mlp_metrics or {}).items()})
