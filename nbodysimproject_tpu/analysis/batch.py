@@ -52,7 +52,7 @@ def stack_sims(sims, dyns_list=None):
     return states, dyns
 
 
-def _scheduled_dyn(sim, dt: float) -> DynParams:
+def _scheduled_dyn(sim, dt: float, cap: bool = True) -> DynParams:
     """The sim's DynParams with the pi-budget mu raise and (if dt is
     not within 1% of the frozen dt) a refrozen schedule — pure, no
     mutation of the facade sim."""
@@ -81,8 +81,9 @@ def _scheduled_dyn(sim, dt: float) -> DynParams:
     # the full n_pred, HSI:504-551 — unbounded cost on near-singular
     # systems; see cfg.analysis_n_sub_cap and the cap/label-agreement
     # test in tests/test_distributed.py).
-    dyn = dyn.replace(n_sub=jnp.minimum(
-        dyn.n_sub, jnp.asarray(int(_n_sub_cap(sim.cfg)), jnp.int32)))
+    if cap:
+        dyn = dyn.replace(n_sub=jnp.minimum(
+            dyn.n_sub, jnp.asarray(int(_n_sub_cap(sim.cfg)), jnp.int32)))
     return dyn
 
 
@@ -231,13 +232,21 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     g_uniform = g_np.size == 1 or bool((g_np == g_np.flat[0]).all())
     _LANES = 128  # 256-lane blocks spill the 16M scoped-VMEM budget at N=8 slots
 
-    def _run_group(idx, n_steps_run, mode_run, b, megno_run):
-        """Analyze the systems at ``idx`` (padded to a power of two so
-        repeated runs reuse compiled programs); returns unpadded column
-        dict."""
-        bsz = 1 << int(np.ceil(np.log2(len(idx))))
+    def _group_pad(idx, min_bsz=1):
+        """Power-of-two padding so repeated runs reuse compiled
+        programs (shared by the metric runs and the feature pass)."""
+        bsz = max(1 << int(np.ceil(np.log2(len(idx)))), int(min_bsz))
         pad_idx = np.concatenate([idx, np.repeat(idx[:1], bsz - len(idx))])
         take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
+        return bsz, pad_idx, take
+
+    def _run_group(idx, n_steps_run, mode_run, b, megno_run, min_bsz=1):
+        """Analyze the systems at ``idx``; returns unpadded column
+        dict.  Lanes are independent on both engines, so results per
+        system do not depend on the padded batch size — only on WHICH
+        engine runs (``min_bsz`` lets a shrunken survivor group stay
+        on the fused path its bucket used)."""
+        bsz, pad_idx, take = _group_pad(idx, min_bsz)
         if (g_uniform and bsz % (8 * _LANES) == 0
                 and fused_path_applicable(cfg, mode_run, bsz, dtype,
                                           _LANES)):
@@ -269,8 +278,18 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     for b in np.unique(buckets):
         idx = np.nonzero(buckets == b)[0]
         r = None
-        if probe_frac > 0.0 and b >= min_b and n_steps >= 20:
+        # the probe only applies to metric-producing modes: a
+        # "minimal" run returns too few columns for the merge to be
+        # consistent
+        if (probe_frac > 0.0 and b >= min_b and n_steps >= 20
+                and mode in ("core", "full")):
             n_probe = max(10, int(round(n_steps * probe_frac)))
+            bucket_bsz, _, _ = _group_pad(idx)
+            bucket_fused = (g_uniform
+                            and bucket_bsz % (8 * _LANES) == 0
+                            and fused_path_applicable(cfg, mode,
+                                                      bucket_bsz, dtype,
+                                                      _LANES))
             rp = _run_group(idx, n_probe, "core", b, 0)
             drift = np.asarray(rp["energy_drift"], np.float64)
             bad = (~np.isfinite(drift)) | (np.abs(drift) > 10.0)
@@ -283,7 +302,12 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                 surv = idx[~bad]
                 r = {k: np.array(v) for k, v in rp.items()}  # writable copies
                 if len(surv):
-                    rs = _run_group(surv, n_steps, mode, b, megno_steps)
+                    # keep the survivors on the engine their bucket
+                    # would use (per-lane results are batch-size
+                    # independent but NOT engine independent at f32)
+                    rs = _run_group(surv, n_steps, mode, b, megno_steps,
+                                    min_bsz=8 * _LANES if bucket_fused
+                                    else 1)
                     smask = ~bad
                     for k, v in rs.items():
                         if k not in r:
@@ -294,10 +318,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         if r is None:
             r = _run_group(idx, n_steps, mode, b, megno_steps)
         if mode == "full":
-            bsz = 1 << int(np.ceil(np.log2(len(idx))))
-            pad_idx = np.concatenate([idx,
-                                      np.repeat(idx[:1], bsz - len(idx))])
-            take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
+            _, _, take = _group_pad(idx)
             f = _features_batch_jit(take(states), take(dyns), cfg)
             f = {k: np.asarray(jax.device_get(v))[:len(idx)]
                  for k, v in f.items()}
@@ -397,7 +418,17 @@ class BatchStabilityAnalyzer:
             sims = [simulations[i] for i in idxs]
             # schedule for this dt without mutating the caller's sims
             # (strang_substeps' pi-budget raise, HSI:800)
-            dyns_list = [_scheduled_dyn(s, self.dt) for s in sims]
+            raw_list = [_scheduled_dyn(s, self.dt, cap=False)
+                        for s in sims]
+            # n_sub columns record the PRE-cap schedule demand like
+            # analyze_population (n_sub_raw there); integration uses
+            # the capped schedule
+            n_subs_raw = np.asarray(jax.device_get(
+                jnp.stack([d.n_sub for d in raw_list])))
+            dyns_list = [
+                d.replace(n_sub=jnp.minimum(
+                    d.n_sub, jnp.asarray(int(_n_sub_cap(cfg)), jnp.int32)))
+                for d in raw_list]
             n_subs = np.asarray(jax.device_get(
                 jnp.stack([d.n_sub for d in dyns_list])))
             n_sub_max = int(n_subs.max())
@@ -426,14 +457,16 @@ class BatchStabilityAnalyzer:
                 min_softening=np.asarray(
                     jax.device_get(dyns.min_softening), np.float64),
                 cfg=cfg))
-            res_np["n_sub"] = n_subs.astype(np.int64)
-            res_np["n_sub_capped"] = n_subs > _n_sub_cap(cfg)
+            res_np["n_sub"] = n_subs_raw.astype(np.int64)
+            res_np["n_sub_capped"] = n_subs_raw > _n_sub_cap(cfg)
             for j, i in enumerate(idxs):
                 row = {}
                 for k, v in res_np.items():
                     val = v[j]
                     if isinstance(val, str):
                         row[k] = val
+                    elif isinstance(val, (np.bool_, bool)):
+                        row[k] = bool(val)
                     elif isinstance(val, (np.integer, int)):
                         row[k] = int(val)
                     else:

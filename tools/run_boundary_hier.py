@@ -108,15 +108,12 @@ def main():
     # the eval_per_cohort split recovery: split an index vector with the
     # same (n, y, seed, stratify) parameters
     idx = np.arange(len(y1))[:, None].astype(np.float64)
-    _, _, I_te, _, _, _, sc_idx = DataUtils.split_and_scale(
+    _, I_val, I_te, _, _, _, sc_idx = DataUtils.split_and_scale(
         idx, y1, test_size=0.15, val_size=0.15, seed=42)
     te_idx = np.round(sc_idx.inverse_transform(I_te)[:, 0]).astype(int)
+    va_idx = np.round(sc_idx.inverse_transform(I_val)[:, 0]).astype(int)
     te_mask = np.zeros(len(y1), bool)
     te_mask[te_idx] = True
-    # recover val indices the same way for early stopping
-    _, I_val, _, _, _, _, _ = DataUtils.split_and_scale(
-        idx, y1, test_size=0.15, val_size=0.15, seed=42)
-    va_idx = np.round(sc_idx.inverse_transform(I_val)[:, 0]).astype(int)
     va_mask = np.zeros(len(y1), bool)
     va_mask[va_idx] = True
     tr_mask = ~(te_mask | va_mask)
