@@ -221,3 +221,38 @@ class TestMLPipeline:
                                    trainer.predict_proba(X_test),
                                    rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(loaded.scaler.mean_, trainer.scaler.mean_)
+
+
+class TestFacadeSchemaParity:
+    def test_facade_batch_emits_pre_cap_n_sub_and_ic_columns(self):
+        """The facade batch path's schema columns agree with
+        analyze_population semantics: n_sub records the PRE-cap
+        schedule demand (n_sub_capped flags cap hits), IC columns and
+        metadata are present, and bool columns stay bool."""
+        import jax
+        import jax.numpy as jnp
+
+        from nbodysimproject_tpu.analysis.batch import analyze_population
+
+        sims = [_triple(sep=s) for s in (8.0, 20.0)]
+        ba = BatchStabilityAnalyzer(n_steps=40, dt=0.01, mode="core")
+        df = ba.analyze_batch([s.copy() for s in sims],
+                              show_progress=False)
+        for col in ("n_sub", "n_sub_capped", "mass_0", "x_0", "vx_0",
+                    "n_bodies", "G", "integrator_mode"):
+            assert col in df.columns, col
+        assert df["n_sub_capped"].dtype == bool
+        assert (df["n_sub"] >= 1).all()
+
+        # same systems through the fully-batched path: n_sub demand
+        # must agree (both record the pre-cap frozen schedule)
+        s0 = sims[0]
+        m = np.asarray([b.mass for b in s0.bodies])[None]
+        q = np.asarray([[b.x, b.y] for b in s0.bodies])[None]
+        v = np.asarray([[b.vx, b.vy] for b in s0.bodies])[None]
+        dfp = analyze_population(
+            m, q, v, np.ones((1, len(s0.bodies)), bool), s0.cfg,
+            G=float(s0.G), softening=float(s0.softening),
+            min_softening=0.0, dt=0.01, n_steps=40, mode="core",
+            show_progress=False)
+        assert int(dfp.loc[0, "n_sub"]) == int(df.loc[0, "n_sub"])
