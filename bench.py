@@ -151,11 +151,37 @@ def main():
             print(f"[bench] pallas-fused path unavailable: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ------------- yoshida4 scan (BASELINE config #2) -----------------
+    try:
+        cfg_y = nb.SimConfig(integrator_mode="yoshida4")
+        states_y, dyns_y = build_batch(mass, pos, vel, mask, cfg_y, 1.0,
+                                       1e-3, 0.0, DT)
+        nsub_y = int(jax.device_get(jnp.max(dyns_y.n_sub)))
+        out_y = integrate_batch(states_y, dyns_y, cfg_y, dt, N_STEPS,
+                                nsub_y)
+        np.asarray(out_y.pos[0, 0, 0])
+        best_y = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_y = integrate_batch(states_y, dyns_y, cfg_y, dt, N_STEPS,
+                                    nsub_y)
+            np.asarray(out_y.pos[0, 0, 0])
+            best_y = min(best_y, time.perf_counter() - t0)
+        rate_y = B * N_STEPS / best_y
+        print(f"[bench] yoshida4 scan: {best_y:.3f}s rate={rate_y:.3e} "
+              f"sys-steps/s (n_sub={nsub_y})", file=sys.stderr)
+    except Exception as e:
+        rate_y = None
+        print(f"[bench] yoshida4 bench unavailable: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # ------------- ham_soft macro-step scan (flagship integrator) -----
     # (VERDICT round-1 item 9: bench the flagship workload too; numbers
     # to stderr + data/bench_details.json, headline metric unchanged)
     details = {"verlet_xla_scan": rate_xla, "verlet_best": rate,
                "f32_drift_sys0": drift}
+    if rate_y is not None:
+        details["yoshida4_xla_scan"] = rate_y
     try:
         hs_steps = max(1, N_STEPS // 10)  # ~10 substeps/step -> same work
         B_HS = int(os.environ.get("BENCH_BATCH_HS", 1 << 17))
