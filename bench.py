@@ -184,7 +184,9 @@ def main():
         details["yoshida4_xla_scan"] = rate_y
     try:
         hs_steps = max(1, N_STEPS // 10)  # ~10 substeps/step -> same work
-        B_HS = int(os.environ.get("BENCH_BATCH_HS", 1 << 17))
+        # 2^20 amortises the dispatch latency like the verlet headline
+        # (2^17 measured 2.9e8 fused; 2^20 measures 5.9e8 — kernel rate)
+        B_HS = int(os.environ.get("BENCH_BATCH_HS", 1 << 20))
         kh1, kh2 = jax.random.split(jax.random.PRNGKey(11))
         pos_h = base_q[None] + 0.01 * jax.random.normal(
             kh1, (B_HS, 3, 2), dtype)
