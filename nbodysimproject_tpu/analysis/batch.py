@@ -301,6 +301,16 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                             rp[k].dtype)
                 surv = idx[~bad]
                 r = {k: np.array(v) for k, v in rp.items()}  # writable copies
+                if mode == "full":
+                    # the probe ran in core mode, so the full-mode-only
+                    # chaos columns are absent from rp; pre-create them
+                    # as NaN so an all-abort bucket doesn't leave them
+                    # to the 0.0 setdefault below (0.0 is a meaningful
+                    # MEGNO/lyapunov value) and the frame schema stays
+                    # consistent even when every bucket aborts
+                    for k in ("MEGNO", "lyapunov_time", "megno_slope_med"):
+                        if k not in r:
+                            r[k] = np.full(len(idx), np.nan)
                 if len(surv):
                     # keep the survivors on the engine their bucket
                     # would use (per-lane results are batch-size

@@ -69,9 +69,15 @@ class BodyView:
     # d = 3 extension: reads return 0.0 on 2-D simulations; writes to a
     # 2-D simulation are rejected (there is no slot to store them)
     z = property(lambda s: s._get_pos(2) if s._dim() > 2 else 0.0,
-                 lambda s, v: s._set_pos(2, v))
+                 lambda s, v: s._set_axis3(s._set_pos, v))
     vz = property(lambda s: s._get_vel(2) if s._dim() > 2 else 0.0,
-                  lambda s, v: s._set_vel(2, v))
+                  lambda s, v: s._set_axis3(s._set_vel, v))
+
+    def _set_axis3(self, setter, v: float) -> None:
+        if self._dim() <= 2:
+            raise ValueError("z/vz write requires SimConfig(dim=3); "
+                             "this simulation is 2-D")
+        setter(2, v)
 
     def _dim(self) -> int:
         return int(self._sim._pos.shape[1])

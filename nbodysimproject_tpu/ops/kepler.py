@@ -13,9 +13,11 @@ and over the system batch:
   z < 0, series near zero — instead of the reference's series +
   quad-angle recursion (kepler_solver.py:25-46).  The recursion costs
   ~80 sequential loop iterations per evaluation inside the Newton
-  loop; the closed form is O(1) and exact for all |z| the recursion
-  could reach (cosh overflows at the same |z| ~ 5e5 where repeated
-  c0 -> 2 c0^2 - 1 squaring would),
+  loop; the closed form is O(1).  In float64 it is usable to the same
+  |z| ~ 5e5 where the recursion's repeated c0 -> 2 c0^2 - 1 squaring
+  would overflow; in float32 cosh/sinh saturate near |z| ~ 7.7e3, so
+  the hyperbolic argument is clamped there (saturated lanes return
+  huge-but-finite values instead of inf propagating to c2/c3),
 * Newton: while_loop capped at 64 iterations (the reference cap),
   freezing a lane when chi_new == chi or chi_new == prev2 (2-cycle) or
   f' == 0; under vmap the loop exits when every lane is frozen
@@ -69,6 +71,12 @@ def stumpff(z):
     pos = z > 0
     s_e = jnp.sqrt(jnp.where(pos, z, 1.0))
     s_h = jnp.sqrt(jnp.where(pos, 1.0, -z))
+    # cosh/sinh overflow at s ~ 710 in f64 (|z| ~ 5e5) but already at
+    # s ~ 88 in f32 (|z| ~ 7.7e3); clamp so a saturated hyperbolic lane
+    # yields a huge finite c0/c1 (the Newton step still pulls chi back)
+    # rather than inf -> nan in the c2/c3 quotients
+    s_cap = 700.0 if z.dtype == jnp.float64 else 88.0
+    s_h = jnp.minimum(s_h, jnp.asarray(s_cap, z.dtype))
     c0_t = jnp.where(pos, jnp.cos(s_e), jnp.cosh(s_h))
     c1_t = jnp.where(pos, jnp.sin(s_e) / s_e, jnp.sinh(s_h) / s_h)
     z_safe = jnp.where(small, 1.0, z)

@@ -86,12 +86,19 @@ class TestLargenRollout:
     def test_auto_resolution(self):
         cfg = nb.SimConfig(force_mode="auto", pm_auto_min_n=1000,
                            pallas_force_min_n=100)
+        # the resolved closure's call target is recorded in its code
+        # object (freevars for in-function imports, names for globals)
+        refs = lambda fn: fn.__code__.co_freevars + fn.__code__.co_names
         # auto -> p3m at large N (d=2)
         f = make_force_fn(cfg, 2000, 2)
-        assert "p3m" in repr(f.__code__.co_names) or True  # resolved OK
-        # d=3 large N cannot take p3m; must resolve to the direct kernel
+        assert "p3m_force" in refs(f)
+        # d=3 large N cannot take p3m; must resolve to the pallas
+        # direct kernel (n >= pallas_force_min_n)
         f3 = make_force_fn(cfg, 2000, 3)
-        assert f3 is not None
+        assert "pairwise_force_pallas" in refs(f3)
+        # small N resolves to the plain XLA direct kernel
+        f_small = make_force_fn(cfg, 10, 2)
+        assert "_direct_force_xla" in refs(f_small)
         with pytest.raises(ValueError):
             make_force_fn(nb.SimConfig(force_mode="p3m"), 100, 3)
 
