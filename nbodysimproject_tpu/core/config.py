@@ -141,6 +141,16 @@ class SimConfig:
     #  "auto"          — p3m when N >= pm_auto_min_n and d == 2, else
     #                    tiled direct
     force_mode: str = "direct"
+    # Newton depth of the WHFast Kepler drifts:
+    #  > 0 — fixed-iteration Halley solver (ops/kepler.py
+    #        kepler_propagate_fixed): no per-lane convergence gating,
+    #        so a vmapped many-planet drift is ~iters deep instead of
+    #        worst-lane-Newton deep (measured 2 ms/step at N = 4096 on
+    #        the adaptive path).  8 gives machine-precision chi on
+    #        every tested orbit (cubic convergence, <= 4 typical).
+    #  0   — the adaptive worst-lane-gated while_loop (64-iter cap,
+    #        reference kepler_solver.py:66 parity).
+    whfast_kepler_iters: int = 8
     pm_grid: int = 256                   # P3M mesh cells per side
     pm_r_cut_cells: float = 4.0          # short-range split radius
     pm_auto_min_n: int = 32768           # "auto" crossover (bench-measured)

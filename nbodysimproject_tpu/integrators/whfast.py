@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.state import SimState
 from ..ops.forces import gravitational_force
-from ..ops.kepler import kepler_propagate
+from ..ops.kepler import kepler_propagate, kepler_propagate_fixed
 
 
 def to_jacobi(m, pos, vel):
@@ -71,10 +71,16 @@ def from_jacobi(m, jac_pos, jac_vel):
     return pos, vel
 
 
-def wh_kepler_drift(state: SimState, dyn, dt) -> SimState:
+def wh_kepler_drift(state: SimState, dyn, dt,
+                    kepler_iters: int = 0) -> SimState:
     """Half drift: body 0 drifts linearly in Jacobi coordinates, bodies
     i >= 1 propagate on Kepler orbits with mu = G (M_interior + m_i)
-    (whfast_scheme.py:22-37)."""
+    (whfast_scheme.py:22-37).
+
+    ``kepler_iters > 0`` selects the fixed-depth Halley solver — the
+    adaptive while_loop gates every vmapped planet lane on the worst
+    lane's Newton count, which dominated many-planet drifts (2 ms/step
+    at N = 4096; see cfg.whfast_kepler_iters)."""
     m = state.mass
     cum = jnp.cumsum(m)
     jac_pos, jac_vel = to_jacobi(m, state.pos, state.vel)
@@ -82,7 +88,11 @@ def wh_kepler_drift(state: SimState, dyn, dt) -> SimState:
     jp0 = jac_pos[0] + jac_vel[0] * dt
 
     mu = dyn.G * cum  # mu_i = G * (cum[i-1] + m[i]) = G * cum[i]
-    kp = jax.vmap(lambda r, v, mu_i: kepler_propagate(r, v, mu_i, dt))
+    if kepler_iters > 0:
+        kp = jax.vmap(lambda r, v, mu_i: kepler_propagate_fixed(
+            r, v, mu_i, dt, iters=kepler_iters))
+    else:
+        kp = jax.vmap(lambda r, v, mu_i: kepler_propagate(r, v, mu_i, dt))
     r_new, v_new = kp(jac_pos[1:], jac_vel[1:], mu[1:])
 
     jac_pos = jnp.concatenate([jp0[None, :], r_new], axis=0)
@@ -183,10 +193,11 @@ def whfast_substep(state: SimState, dyn, cfg, h) -> SimState:
     """Kepler half-drift, interaction kick, Kepler half-drift
     (whfast_scheme.py:71-93)."""
     dt2 = 0.5 * h
-    state = wh_kepler_drift(state, dyn, dt2)
+    iters = int(getattr(cfg, "whfast_kepler_iters", 8))
+    state = wh_kepler_drift(state, dyn, dt2, kepler_iters=iters)
     acc = wh_interaction_accel(state, dyn)
     state = state.replace(vel=state.vel + h * acc)
-    state = wh_kepler_drift(state, dyn, dt2)
+    state = wh_kepler_drift(state, dyn, dt2, kepler_iters=iters)
     return state
 
 

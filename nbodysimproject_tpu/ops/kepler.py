@@ -29,6 +29,8 @@ d = 2 via hypot, kepler_solver.py:53).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -91,19 +93,8 @@ def stumpff(z):
     )
 
 
-@jax.jit
-def kepler_propagate(r, v, mu, dt):
-    """Propagate one two-body state (r, v) for time dt under GM = mu.
-
-    Shapes: r, v — (d,); mu, dt — scalars.  vmap over leading axes for
-    per-planet / per-system batching.  Matches _propagate_single
-    (kepler_solver.py:48-91) including the r0 < 1e-14 linear-drift
-    fallback and the rn == 0 velocity passthrough.
-    """
-    r = jnp.asarray(r)
-    v = jnp.asarray(v)
-    dtype = r.dtype
-
+def _kepler_prologue(r, v, mu, dt):
+    """Shared setup: orbit invariants and the Newton/Halley seed."""
     r0 = jnp.sqrt(jnp.sum(r * r))
     degenerate = r0 < 1e-14
     r0s = jnp.where(degenerate, 1.0, r0)
@@ -118,6 +109,49 @@ def kepler_propagate(r, v, mu, dt):
         sqrt_mu * jnp.abs(alpha) * dt,
         sqrt_mu * dt / r0s,
     )
+    return r0s, degenerate, vr0, alpha, sqrt_mu, chi0
+
+
+def _kepler_epilogue(r, v, mu, dt, chi, r0s, degenerate, alpha, sqrt_mu):
+    """Shared f/g + fdot/gdot update from the converged chi."""
+    z = alpha * chi * chi
+    _c0, c1, c2, c3 = stumpff(z)
+    f = 1 - chi * chi * c2 / r0s
+    g = dt - chi * chi * chi * c3 / sqrt_mu
+    r_vec = f * r + g * v
+    rn = jnp.sqrt(jnp.sum(r_vec * r_vec))
+    rn_zero = rn == 0.0
+    rns = jnp.where(rn_zero, 1.0, rn)
+    # fdot = sqrt(mu)/(r r0) * chi * (z c3(z) - 1), z = alpha chi^2.
+    # NOTE: the reference writes alpha*chi^2*c3 here
+    # (kepler_solver.py:88), i.e. z*c3 without the extra chi — an O(chi)
+    # relative velocity error that breaks its own energy conservation on
+    # every drift; we use the correct universal-variable expression.
+    fdot = sqrt_mu / (rns * r0s) * (alpha * chi * chi * chi * c3 - chi)
+    gdot = 1 - chi * chi * c2 / rns
+    v_vec = jnp.where(rn_zero, v, fdot * r + gdot * v)
+
+    # degenerate r0: straight-line drift (kepler_solver.py:54-55)
+    r_out = jnp.where(degenerate, r + v * dt, r_vec)
+    v_out = jnp.where(degenerate, v, v_vec)
+    return r_out, v_out
+
+
+@jax.jit
+def kepler_propagate(r, v, mu, dt):
+    """Propagate one two-body state (r, v) for time dt under GM = mu.
+
+    Shapes: r, v — (d,); mu, dt — scalars.  vmap over leading axes for
+    per-planet / per-system batching.  Matches _propagate_single
+    (kepler_solver.py:48-91) including the r0 < 1e-14 linear-drift
+    fallback and the rn == 0 velocity passthrough.
+    """
+    r = jnp.asarray(r)
+    v = jnp.asarray(v)
+    dtype = r.dtype
+
+    r0s, degenerate, vr0, alpha, sqrt_mu, chi0 = _kepler_prologue(
+        r, v, mu, dt)
 
     nan = jnp.asarray(jnp.nan, dtype)
 
@@ -167,27 +201,85 @@ def kepler_propagate(r, v, mu, dt):
         (chi0, nan, nan, jnp.zeros((), bool), jnp.zeros((), jnp.int32)),
     )
 
-    z = alpha * chi * chi
-    _c0, c1, c2, c3 = stumpff(z)
-    f = 1 - chi * chi * c2 / r0s
-    g = dt - chi * chi * chi * c3 / sqrt_mu
-    r_vec = f * r + g * v
-    rn = jnp.sqrt(jnp.sum(r_vec * r_vec))
-    rn_zero = rn == 0.0
-    rns = jnp.where(rn_zero, 1.0, rn)
-    # fdot = sqrt(mu)/(r r0) * chi * (z c3(z) - 1), z = alpha chi^2.
-    # NOTE: the reference writes alpha*chi^2*c3 here
-    # (kepler_solver.py:88), i.e. z*c3 without the extra chi — an O(chi)
-    # relative velocity error that breaks its own energy conservation on
-    # every drift; we use the correct universal-variable expression.
-    fdot = sqrt_mu / (rns * r0s) * (alpha * chi * chi * chi * c3 - chi)
-    gdot = 1 - chi * chi * c2 / rns
-    v_vec = jnp.where(rn_zero, v, fdot * r + gdot * v)
+    return _kepler_epilogue(r, v, mu, dt, chi, r0s, degenerate, alpha,
+                            sqrt_mu)
 
-    # degenerate r0: straight-line drift (kepler_solver.py:54-55)
-    r_out = jnp.where(degenerate, r + v * dt, r_vec)
-    v_out = jnp.where(degenerate, v, v_vec)
-    return r_out, v_out
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def kepler_propagate_fixed(r, v, mu, dt, iters: int = 8):
+    """Fixed-depth Laguerre–Conway variant of :func:`kepler_propagate`.
+
+    The adaptive solver's ``while_loop`` gates every vmapped lane on
+    the WORST lane's Newton count — at N = 4096 planets that
+    sequential depth dominated the WHFast drift (ROADMAP round-2
+    measurement: ~2 ms/step was the per-lane Newton gating).  This
+    variant runs a FIXED ``iters`` Laguerre–Conway updates (Conway
+    1986 — the practically-globally-convergent root iteration for the
+    universal Kepler equation, n = 5 as in Danby/SWIFT) with no
+    convergence branch: converged lanes take f ~ 0 so further updates
+    are exact no-ops, and the unrolled loop exposes all lanes' work to
+    the VPU with no cross-lane control flow.
+
+        chi -= n f / (f' + sgn(f') sqrt(|(n-1)^2 f'^2 - n(n-1) f f''|))
+
+    with f''(chi) = (r0 vr0/sqrt(mu))(1 - z c2)
+    + (1 - alpha r0) chi (1 - z c3) (from d/dchi[chi^2 c2] =
+    chi(1 - z c3), d/dchi[chi^3 c3] = chi^2 c2).  Unlike plain
+    Newton/Halley it does not blow through pericenter passages where
+    f' = r ~ 0, so multi-period drifts converge from the same seed.
+    Typical WHFast drifts converge in <= 4 iterations; ``iters`` = 8
+    leaves 2x headroom and is still ~8x shallower than the
+    worst-lane-gated 64-cap loop.
+    """
+    r = jnp.asarray(r)
+    v = jnp.asarray(v)
+
+    r0s, degenerate, vr0, alpha, sqrt_mu, chi0 = _kepler_prologue(
+        r, v, mu, dt)
+
+    # The generic seed sqrt(mu)|alpha|dt lands exponentially far from
+    # the root on strongly hyperbolic orbits (f ~ e^{sqrt(-alpha) chi},
+    # so an overshoot of s costs ~s corrective iterations — fine for
+    # the 64-cap adaptive loop, fatal at fixed depth).  Use Vallado's
+    # logarithmic hyperbolic seed (Alg. 8) there instead:
+    #   chi0 = sgn(dt) sqrt(-1/alpha)
+    #          * ln[ -2 mu alpha dt / (r.v + sgn(dt) sqrt(-mu/alpha)
+    #                                  (1 - r0 alpha)) ]
+    hyp = alpha < -1e-12
+    alpha_h = jnp.where(hyp, alpha, -1.0)
+    sgn_dt = jnp.where(dt >= 0.0, 1.0, -1.0)
+    log_num = -2.0 * mu * alpha_h * dt
+    log_den = (r0s * vr0
+               + sgn_dt * jnp.sqrt(-mu / alpha_h) * (1.0 - r0s * alpha_h))
+    log_arg = log_num / jnp.where(log_den == 0.0, 1.0, log_den)
+    hyp_ok = hyp & (log_den != 0.0) & (log_arg > 0.0)
+    chi0_hyp = sgn_dt * jnp.sqrt(-1.0 / alpha_h) * \
+        jnp.log(jnp.where(hyp_ok, log_arg, 1.0))
+    chi0 = jnp.where(hyp_ok, chi0_hyp, chi0)
+
+    a1 = r0s * vr0 / sqrt_mu
+    a2 = 1 - alpha * r0s
+    ln = 5.0  # Laguerre order (Conway 1986)
+
+    def body(_i, chi):
+        z = alpha * chi * chi
+        _c0, _c1, c2, c3 = stumpff(z)
+        chi2 = chi * chi
+        f = a1 * chi2 * c2 + a2 * chi2 * chi * c3 + r0s * chi \
+            - sqrt_mu * dt
+        fp = a1 * chi * (1 - z * c3) + a2 * chi2 * c2 + r0s
+        fpp = a1 * (1 - z * c2) + a2 * chi * (1 - z * c3)
+        disc = jnp.sqrt(jnp.abs((ln - 1.0) ** 2 * fp * fp
+                                - ln * (ln - 1.0) * f * fpp))
+        den = fp + jnp.where(fp >= 0.0, disc, -disc)
+        den_bad = den == 0.0
+        step = ln * f / jnp.where(den_bad, 1.0, den)
+        return chi - jnp.where(den_bad, 0.0, step)
+
+    chi = jax.lax.fori_loop(0, iters, body, chi0, unroll=True)
+
+    return _kepler_epilogue(r, v, mu, dt, chi, r0s, degenerate, alpha,
+                            sqrt_mu)
 
 
 class UniversalVariableKeplerSolver:
