@@ -142,15 +142,20 @@ class SimConfig:
     #                    tiled direct
     force_mode: str = "direct"
     # Newton depth of the WHFast Kepler drifts:
-    #  > 0 — fixed-iteration Halley solver (ops/kepler.py
-    #        kepler_propagate_fixed): no per-lane convergence gating,
-    #        so a vmapped many-planet drift is ~iters deep instead of
-    #        worst-lane-Newton deep (measured 2 ms/step at N = 4096 on
-    #        the adaptive path).  8 gives machine-precision chi on
-    #        every tested orbit (cubic convergence, <= 4 typical).
     #  0   — the adaptive worst-lane-gated while_loop (64-iter cap,
-    #        reference kepler_solver.py:66 parity).
-    whfast_kepler_iters: int = 8
+    #        reference kepler_solver.py:66 parity).  DEFAULT: measured
+    #        fastest on both bench shapes (batched 3-body 7.8e7
+    #        sys-steps/s vs 6.1e7 fixed-8; N = 4096 parity) — the
+    #        round-2 "worst-lane Newton gating" hypothesis was wrong,
+    #        the many-planet cost was the dense interaction force (now
+    #        Pallas-tiled via use_pallas_forces).
+    #  > 0 — fixed-iteration Laguerre-Conway solver (ops/kepler.py
+    #        kepler_propagate_fixed): no cross-lane control flow, so
+    #        an adversarial batch with one slow-converging lane cannot
+    #        gate the whole vmap at the 64-iter cap.  8 gives
+    #        machine-precision chi on every tested orbit; 4 is NOT
+    #        enough (39/500 energy violations on extreme drifts).
+    whfast_kepler_iters: int = 0
     pm_grid: int = 256                   # P3M mesh cells per side
     pm_r_cut_cells: float = 4.0          # short-range split radius
     pm_auto_min_n: int = 32768           # "auto" crossover (bench-measured)

@@ -29,17 +29,11 @@ _W2 = -CBRT2 / (2.0 - CBRT2)
 
 def _force(state: SimState, dyn, cfg, eps):
     """Force dispatch: dense XLA einsum for few-body, Pallas tiled
-    kernel for large unpadded systems when cfg.use_pallas_forces."""
-    if cfg.use_pallas_forces and state.n_slots >= cfg.pallas_force_min_n:
-        import jax
+    kernel for large unpadded systems when cfg.use_pallas_forces
+    (shared with the WHFast interaction kick — ops/forces.py)."""
+    from ..ops.forces import force_auto
 
-        from ..ops.pallas_kernels import pairwise_force_pallas
-
-        interpret = jax.default_backend() != "tpu"
-        return pairwise_force_pallas(state.pos, state.mass, eps, dyn.G,
-                                     interpret=interpret)
-    return gravitational_force(state.pos, state.mass, eps=eps, G=dyn.G,
-                               mask=state.mask)
+    return force_auto(state.pos, state.mass, eps, dyn.G, state.mask, cfg)
 
 
 def classical_accel(state: SimState, dyn, cfg):

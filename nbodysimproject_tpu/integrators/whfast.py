@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.state import SimState
-from ..ops.forces import gravitational_force
+from ..ops.forces import force_auto, gravitational_force
 from ..ops.kepler import kepler_propagate, kepler_propagate_fixed
 
 
@@ -151,7 +151,7 @@ def wh_interaction_accel_ad(state: SimState, dyn):
     return -grad / m[:, None]
 
 
-def wh_interaction_accel(state: SimState, dyn):
+def wh_interaction_accel(state: SimState, dyn, cfg=None):
     """a_int = -grad V_int / m in closed form.
 
     -grad V_true / m is the standard softened direct acceleration (the
@@ -169,8 +169,7 @@ def wh_interaction_accel(state: SimState, dyn):
     m, q = state.mass, state.pos
     s2 = state.step_s2
     n = q.shape[0]
-    F = gravitational_force(q, m, eps=jnp.sqrt(s2), G=dyn.G,
-                            mask=state.mask)
+    F = force_auto(q, m, jnp.sqrt(s2), dyn.G, state.mask, cfg)
     msafe = jnp.where(m > 0.0, m, 1.0)
     a_direct = F / msafe[:, None]
 
@@ -195,7 +194,7 @@ def whfast_substep(state: SimState, dyn, cfg, h) -> SimState:
     dt2 = 0.5 * h
     iters = int(getattr(cfg, "whfast_kepler_iters", 8))
     state = wh_kepler_drift(state, dyn, dt2, kepler_iters=iters)
-    acc = wh_interaction_accel(state, dyn)
+    acc = wh_interaction_accel(state, dyn, cfg)
     state = state.replace(vel=state.vel + h * acc)
     state = wh_kepler_drift(state, dyn, dt2, kepler_iters=iters)
     return state
@@ -204,5 +203,5 @@ def whfast_substep(state: SimState, dyn, cfg, h) -> SimState:
 def whfast_corrector(state: SimState, dyn, cfg, h_ref) -> SimState:
     """WHFast startup corrector: half-kick of the interaction
     acceleration (whfast_scheme.py:95-123)."""
-    acc = wh_interaction_accel(state, dyn)
+    acc = wh_interaction_accel(state, dyn, cfg)
     return state.replace(vel=state.vel + 0.5 * h_ref * acc)

@@ -99,6 +99,10 @@ def main():
     # ---- many-planet single system --------------------------------------
     from nbodysimproject_tpu.integrators.step import integrate
 
+    # Large-N: route the interaction kick's direct-force term through
+    # the tiled Pallas kernel (dense einsum is HBM-bound at N >= ~2k).
+    cfg = nb.SimConfig(integrator_mode="whfast", fast_float32=True,
+                       use_pallas_forces=True)
     for n_pl in (64, 256, 1024, 4096):
         m, q, v = planetary_system(n_pl, seed=1, dtype=dtype)
         mask1 = jnp.ones((n_pl + 1,), bool)
