@@ -119,6 +119,20 @@ class SimConfig:
     # forced-unstable label, and an `early_exit` marker column.
     early_exit_probe: float = 0.0
     early_exit_min_n_sub: int = 8
+    # Tight-binary tail fast path for the batched analysis
+    # (integrators/kepler_split.py; VERDICT round-2 item 1).  Systems
+    # whose frozen schedule demands >= tail_min_n_sub substeps AND
+    # whose tightest pair dominates every other pair timescale by
+    # tail_dominance_margin are re-scheduled onto the "kepler_split"
+    # integrator: exact universal-variable Kepler drift for the pair,
+    # perturbation kicks at the outer timescale — n_sub collapses from
+    # O(hundreds) to O(1-4).  Labels on non-tail systems are untouched
+    # (they never enter this path); tail labels measure drift of the
+    # split Hamiltonian.  "kepler" = on, "off" = round-2 behaviour.
+    analysis_tail_policy: str = "kepler"
+    tail_min_n_sub: int = 64
+    tail_dominance_margin: float = 3.0
+    tail_min_gain: int = 8
     # Use the fused multi-step Pallas kernel inside batched analysis
     # (analysis/fused.py).  Opt-in: the kernel beats the XLA scan
     # 2.4-2.7x on pure integration (bench.py), but at the pipeline's

@@ -96,7 +96,16 @@ def energy_breakdown(state: SimState, dyn, cfg):
 
 def extended_hamiltonian(state: SimState, dyn, cfg, eps_star=None):
     """High-accuracy H_ext (diagnostics.py:457-549): compensated pair
-    sums in float64 replace the reference's float128 Kahan."""
+    sums in float64 replace the reference's float128 Kahan.
+
+    The ``kepler_split`` tail mode conserves a DIFFERENT Hamiltonian
+    (point-mass dominant pair, frozen eps/pi — see
+    integrators/kepler_split.py), so its analysis measures that one.
+    """
+    if cfg.integrator_mode == "kepler_split":
+        from ..integrators.kepler_split import split_hamiltonian
+
+        return split_hamiltonian(state, dyn, cfg)
     m = state.mass
     v2 = jnp.sum(state.vel * state.vel, axis=1)
     tk = state.mass * v2

@@ -67,6 +67,12 @@ def substep_fn(cfg):
         kernel = yoshida4_kernel
     elif mode == "whfast":
         kernel = whfast_substep
+    elif mode == "kepler_split":
+        # tight-binary tail fast path (integrators/kepler_split.py);
+        # eps is frozen, so no adaptive refresh applies
+        from .kepler_split import kepler_split_substep
+
+        return kepler_split_substep
     else:
         kernel = verlet_kernel
 
