@@ -43,10 +43,20 @@ _SUB = 8  # VPU sublanes
 
 def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
                    flo, cap, eps_seed, G: float, k_wall: float, eta: float,
-                   jcap: float, bexp: int):
+                   jcap: float, bexp: int, policy: str = "soft",
+                   grad_mode: str = "exact", lam_align: float = 0.3):
     """Construct the in-kernel ham_soft physics closures over a set of
     (8, L) VPU blocks.  Shared by the plain multi-step kernel and the
-    MEGNO-fused kernel so the two cannot drift apart."""
+    MEGNO-fused kernel so the two cannot drift apart.
+
+    ``policy``: "soft" — smooth wall kicks on pi (the round-2 covered
+    configuration); "reflection" — closed-form triangle folds of
+    (eps, pi) around each flow (integrators/hamsoft.py refl branches;
+    reference HSI:447-484 + hamsoft_utils.py:159-184).
+    ``grad_mode``: "exact" — AD gradient of the truncated eps* map;
+    "reference" — the bug-compatible fallback: when the exact gradient
+    degenerates, substitute the Omega-corrected SPH gradient
+    sign-aligned against the legacy one (ops/eps_model.py:308-358)."""
     nd = n * dim
     f32 = jnp.float32
 
@@ -122,11 +132,8 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         omega = [jnp.exp(x - tmax) / s for x in t]  # d es / d h_i
         return es, omega
 
-    def eps_star_and_grad(pos):
-        r2 = pair_r2(pos)
-        iters = _solve_iterates(pos, r2)
-        es, u = eps_star_of(iters[-1])
-
+    def _exact_grad(pos, r2, iters, u):
+        """Reverse sweep through the truncated solve (grad_ad)."""
         g_q = [jnp.zeros_like(pos[0]) for _ in range(nd)]
         # reverse sweep: h_k = clip(G_i(h_{k-1})) with a DIAGONAL
         # Jacobian (Sigma_i depends only on h_i), so the cotangent on
@@ -160,8 +167,131 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
                 u_new.append(c * Sd)
             u = u_new
 
-        g_q = [jnp.where(valid[k // dim] & jnp.isfinite(g), g, 0.0)
-               for k, g in enumerate(g_q)]
+        return [jnp.where(valid[k // dim] & jnp.isfinite(g), g, 0.0)
+                for k, g in enumerate(g_q)]
+
+    def _omega_grad(pos, r2, h_final):
+        """Omega-corrected SPH fallback gradient
+        (ops/eps_model.py:237-298 production_grad_omega), on the
+        clamped final iterate with the XLA path's h floor."""
+        # softmax weights of the softmin over h
+        _es, omega_w = eps_star_of(h_final)
+        h_clamp_min = jnp.maximum(1e-12, 0.1 * jnp.maximum(flo, 1e-12))
+        g_q = [jnp.zeros_like(pos[0]) for _ in range(nd)]
+        for i in range(n):
+            hj = jnp.maximum(h_final[i], h_clamp_min)
+            S, Sd, Ws = _sigma_terms_at(r2, hj, i)
+            Ssafe = jnp.maximum(S, 1e-30)
+            Om = 1.0 + hj * Sd / (2.0 * Ssafe)
+            Om = jnp.where(jnp.isfinite(Om) & (Om != 0.0), Om, 1.0)
+            P = -hj / (2.0 * Ssafe * Om)
+            s_i = -omega_w[i] * P
+            ih2 = 1.0 / jnp.maximum(hj * hj, 1e-24)
+            for j in range(n):
+                if j == i:
+                    continue
+                key = (i, j) if i < j else (j, i)
+                coeff = s_i * mval[j] * Ws[j] * (-2.0 * ih2)
+                for a in range(dim):
+                    d = pos[i * dim + a] - pos[j * dim + a]
+                    g_q[i * dim + a] = g_q[i * dim + a] + coeff * d
+                    g_q[j * dim + a] = g_q[j * dim + a] - coeff * d
+        return [jnp.where(valid[k // dim] & jnp.isfinite(g), g, 0.0)
+                for k, g in enumerate(g_q)]
+
+    def _legacy_grad(pos, r2):
+        """Legacy harmonic-mean gradient with the reference's sign
+        convention (ops/softening.py:41-59), for the sign alignment."""
+        lam = np.float32(lam_align)
+        delta = np.float32(1.0e-12)
+        inv_sum = jnp.zeros_like(pos[0])
+        rs = {}
+        for (i, j), rr in r2.items():
+            r = jnp.sqrt(rr)
+            rs[(i, j)] = r
+            vp = valid[i] & valid[j]
+            inv_sum = inv_sum + jnp.where(vp, 1.0 / (r + delta), 0.0)
+        D = inv_sum  # i<j sum
+        M = jnp.zeros_like(pos[0])
+        for v in valid:
+            M = M + jnp.where(v, 1.0, 0.0)
+        Dsafe = jnp.maximum(D, 1e-30)
+        c_pref = lam * M / (Dsafe * Dsafe)
+        g_q = [jnp.zeros_like(pos[0]) for _ in range(nd)]
+        for (i, j), r in rs.items():
+            vp = valid[i] & valid[j]
+            r_safe = jnp.maximum(r, 1e-15)
+            den = r_safe + delta
+            A = jnp.where(vp, 1.0 / (r_safe * den * den), 0.0)
+            for a in range(dim):
+                d = pos[i * dim + a] - pos[j * dim + a]
+                g_q[i * dim + a] = g_q[i * dim + a] - c_pref * A * d
+                g_q[j * dim + a] = g_q[j * dim + a] + c_pref * A * d
+        good = jnp.isfinite(D) & (D > 0.0)
+        return [jnp.where(good & jnp.isfinite(g), g, 0.0) for g in g_q]
+
+    def _pair_r_median(r2):
+        """Masked median of pair distances via rank selection (numpy
+        nanmedian convention: mean of the two middle order stats of the
+        valid set) — the degeneracy threshold of the reference fallback
+        (ops/eps_model.py:336-345)."""
+        keys = sorted(r2.keys())
+        rv = []
+        vps = []
+        for key in keys:
+            i, j = key
+            vp = valid[i] & valid[j]
+            vps.append(vp)
+            rv.append(jnp.where(vp, jnp.sqrt(r2[key]), f32(3e38)))
+        cnt = jnp.zeros_like(rv[0])
+        for vp in vps:
+            cnt = cnt + jnp.where(vp, 1.0, 0.0)
+        lo = jnp.floor(jnp.maximum(cnt - 1.0, 0.0) * 0.5)
+        hi = jnp.floor(cnt * 0.5)
+        hi = jnp.where(cnt > 0.0, jnp.minimum(hi, cnt - 1.0), 0.0)
+        med_lo = jnp.zeros_like(rv[0])
+        med_hi = jnp.zeros_like(rv[0])
+        for k, x in enumerate(rv):
+            rank = jnp.zeros_like(x)
+            for k2, y in enumerate(rv):
+                lt = (y < x) | ((y == x) & (np.float32(k2) < np.float32(k)))
+                rank = rank + jnp.where(lt, 1.0, 0.0)
+            med_lo = med_lo + jnp.where(rank == lo, x, 0.0)
+            med_hi = med_hi + jnp.where(rank == hi, x, 0.0)
+        med = 0.5 * (med_lo + med_hi)
+        med = jnp.where(cnt > 0.0, med, 0.0)
+        return jnp.where(jnp.isfinite(med), med, 0.0)
+
+    def eps_star_and_grad(pos):
+        r2 = pair_r2(pos)
+        iters = _solve_iterates(pos, r2)
+        es, u = eps_star_of(iters[-1])
+        g_q = _exact_grad(pos, r2, iters, u)
+
+        if grad_mode == "reference":
+            # fallback semantics (eps_star_and_grad,
+            # ops/eps_model.py:308-358): when the exact gradient
+            # degenerates, use the sign-aligned Omega gradient
+            gmax = jnp.zeros_like(es)
+            for i in range(n):
+                g2 = jnp.zeros_like(es)
+                for a in range(dim):
+                    gg = g_q[i * dim + a]
+                    g2 = g2 + gg * gg
+                gmax = jnp.maximum(gmax,
+                                   jnp.where(valid[i], jnp.sqrt(g2), 0.0))
+            r_med = _pair_r_median(r2)
+            degenerate = (gmax <= f32(1e-12)) | (gmax <= f32(1e-9) * r_med)
+
+            g_fb = _omega_grad(pos, r2, iters[-1])
+            g_ref = _legacy_grad(pos, r2)
+            dot = jnp.zeros_like(es)
+            for a, b in zip(g_fb, g_ref):
+                dot = dot + a * b
+            flip = jnp.isfinite(dot) & (dot < 0.0)
+            g_fb = [jnp.where(flip, -g, g) for g in g_fb]
+            g_q = [jnp.where(degenerate, fb, g)
+                   for fb, g in zip(g_fb, g_q)]
         return es, g_q
 
     # ---------------- barrier force on eps (ops/barrier.py:46) ---------
@@ -175,8 +305,28 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
             re = re * right
         return kw * (le - re)
 
+    # barrier kicks apply only under the soft policy (_barrier_on)
+    barrier_on = policy == "soft" and k_wall > 0.0 and bexp >= 2
+    refl = policy == "reflection"
+
+    # ------- closed-form reflection fold (ops/reflection.py:19-35) -----
+    def fold(e, p):
+        R = cap - flo
+        Pw = 2.0 * R
+        Psafe = jnp.where(Pw > 0.0, Pw, 1.0)
+        x = e - flo
+        y = x - Psafe * jnp.floor(x / Psafe)
+        y = jnp.where(Pw > 0.0, y, 0.0)
+        on_up = y <= R
+        e_out = jnp.where(on_up, flo + y, cap - (y - R))
+        p_out = jnp.where(on_up, p, -p)
+        ok = jnp.isfinite(R) & (R > 0.0)
+        return jnp.where(ok, e_out, flo), jnp.where(ok, p_out, -p)
+
     # ---------------- S(h/2) (hamsoft.spring_half_cached) --------------
     def s_half(pos, vel, eps, pi, es, grad, hh):
+        if refl:
+            eps, pi = fold(eps, pi)  # s_half pre-fold
         dt_f = 0.5 * hh
         omega = jnp.sqrt(k_s / mu)
         theta = omega * dt_f
@@ -188,7 +338,10 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         sin_t = jnp.where(small, s_ser, jnp.sin(theta))
         cos_t = jnp.where(small, c_ser, jnp.cos(theta))
 
-        pi_in = pi + 0.5 * dt_f * bar_force(eps)
+        if barrier_on:
+            pi_in = pi + 0.5 * dt_f * bar_force(eps)
+        else:
+            pi_in = pi
         Delta0 = eps - es
         mu_om = jnp.sqrt(mu * k_s)
         delta_t = Delta0 * cos_t + (pi_in / (mu * omega)) * sin_t
@@ -196,7 +349,10 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         I_tau = (Delta0 / omega) * sin_t \
             + (pi_in / (mu * omega * omega)) * (1.0 - cos_t)
         eps_new = es + delta_t
-        pi_new = eta_t + 0.5 * dt_f * bar_force(eps_new)
+        if barrier_on:
+            pi_new = eta_t + 0.5 * dt_f * bar_force(eps_new)
+        else:
+            pi_new = eta_t
 
         # J-cap (hamsoft_flows.py:692-738)
         J = k_s * I_tau
@@ -222,6 +378,8 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         Ja = J * scale
         vel = [v + Ja * grad[k] * inv_m[k // dim]
                for k, v in enumerate(vel)]
+        if refl:
+            eps_new, pi_new = fold(eps_new, pi_new)  # s_half post-fold
         return vel, eps_new, pi_new
 
     # ---------------- V(h/2) (hamsoft.v_half_kick) ---------------------
@@ -250,7 +408,10 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
                     acc[j * dim + a] = acc[j * dim + a] + wj * dxs[a]
         vel = [v + h2 * Gf * a for v, a in zip(vel, acc)]
         dU = Gf * eps * ddU
-        pi = pi - h2 * (dU - bar_force(eps))
+        if barrier_on:
+            pi = pi - h2 * (dU - bar_force(eps))
+        else:
+            pi = pi - h2 * dU
         return vel, pi
 
     # ------------ one masked Strang substep (shared trip body) ---------
@@ -258,12 +419,15 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         """Advance one Strang substep where ``active``; identity
         elsewhere.  The (eps*, grad) cache carries across the
         trailing-S/leading-S boundary (identical q)."""
-        vel1, eps1, pi1 = s_half(pos, vel, eps, pi, es, grad, h)
+        eps0, pi0 = (fold(eps, pi) if refl else (eps, pi))  # substep pre-fold
+        vel1, eps1, pi1 = s_half(pos, vel, eps0, pi0, es, grad, h)
         vel1, pi1 = v_half_kick(pos, vel1, eps1, pi1, h)
         pos1 = [p + h * v for p, v in zip(pos, vel1)]
         vel1, pi1 = v_half_kick(pos1, vel1, eps1, pi1, h)
         es1, grad1 = eps_star_and_grad(pos1)
         vel1, eps1, pi1 = s_half(pos1, vel1, eps1, pi1, es1, grad1, h)
+        if refl:
+            eps1, pi1 = fold(eps1, pi1)  # substep post-fold
 
         sel = lambda a, b: jnp.where(active, a, b)
         return ([sel(a, b) for a, b in zip(pos1, pos)],
@@ -335,7 +499,9 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
                               out_pos_ref, out_vel_ref, out_eps_ref,
                               out_pi_ref, *, n: int, dim: int, n_steps: int,
                               n_sub_max: int, G: float, k_wall: float,
-                              eta: float, jcap: float, bexp: int):
+                              eta: float, jcap: float, bexp: int,
+                              policy: str, grad_mode: str,
+                              lam_align: float):
     nd = n * dim
     f32 = jnp.float32
     pos, vel, mass, valid, inv_m, scal = _read_common(
@@ -344,7 +510,9 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
     eps, pi, k_s, mu, alpha, flo, cap, h, nsub = scal
 
     ops = _build_physics(n, dim, mass, valid, inv_m, k_s, mu, alpha, flo,
-                         cap, eps, G, k_wall, eta, jcap, bexp)
+                         cap, eps, G, k_wall, eta, jcap, bexp,
+                         policy=policy, grad_mode=grad_mode,
+                         lam_align=lam_align)
 
     # ---------------- fused trip loop -----------------------------------
     # trip t advances substep (t mod n_sub_max) of macro step
@@ -382,7 +550,9 @@ def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
                           out_pi_ref, out_acc_ref, out_t_ref, out_ys_ref,
                           *, n: int, dim: int, n_steps: int,
                           n_sub_max: int, G: float, k_wall: float,
-                          eta: float, jcap: float, bexp: int):
+                          eta: float, jcap: float, bexp: int,
+                          policy: str, grad_mode: str,
+                          lam_align: float):
     """MEGNO continuation fused with the integrator (VMEM-resident).
 
     Per macro step (diagnostics/megno.py:67-87, itself the parity
@@ -413,7 +583,9 @@ def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
     dv = [dv_ref[k * _SUB:(k + 1) * _SUB, :] for k in range(nd)]
 
     ops = _build_physics(n, dim, mass, valid, inv_m, k_s, mu, alpha, flo,
-                         cap, eps, G, k_wall, eta, jcap, bexp)
+                         cap, eps, G, k_wall, eta, jcap, bexp,
+                         policy=policy, grad_mode=grad_mode,
+                         lam_align=lam_align)
     es0, grad0 = ops.eps_star_and_grad(pos)
 
     def body(t, carry):
@@ -490,7 +662,9 @@ def hamsoft_multistep(pos, vel, mass, eps, pi, *, k_soft, mu, alpha,
                       eps_min, eps_max, h, n_sub, n_steps: int,
                       n_sub_max: int, G: float = 1.0, k_wall: float = 1e9,
                       eta: float = 1.35, jcap: float = 0.02, bexp: int = 5,
-                      lanes: int = 256, interpret: bool = False):
+                      lanes: int = 256, interpret: bool = False,
+                      policy: str = "soft", grad_mode: str = "exact",
+                      lam_align: float = 0.3):
     """Advance a (B, N, d) float32 ham_soft batch ``n_steps`` macro
     steps (each lane running its own ``n_sub`` <= n_sub_max substeps of
     size ``h``) entirely in VMEM.
@@ -517,7 +691,8 @@ def hamsoft_multistep(pos, vel, mass, eps, pi, *, k_soft, mu, alpha,
         kernel = functools.partial(
             _hamsoft_multistep_kernel, n=n, dim=dim, n_steps=n_steps,
             n_sub_max=n_sub_max, G=G, k_wall=k_wall, eta=eta, jcap=jcap,
-            bexp=bexp)
+            bexp=bexp, policy=policy, grad_mode=grad_mode,
+            lam_align=lam_align)
         L = B // _SUB
         grid = (L // lanes,)
         bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
@@ -553,16 +728,20 @@ def hamsoft_multistep(pos, vel, mass, eps, pi, *, k_soft, mu, alpha,
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_sub_max", "G",
                                              "k_wall", "eta", "jcap", "bexp",
-                                             "lanes"))
+                                             "lanes", "policy", "grad_mode",
+                                             "lam_align"))
 def hamsoft_multistep_jit(pos, vel, mass, eps, pi, k_soft, mu, alpha,
                           eps_min, eps_max, h, n_sub, n_steps, n_sub_max,
                           G=1.0, k_wall=1e9, eta=1.35, jcap=0.02, bexp=5,
-                          lanes=256):
+                          lanes=256, policy="soft", grad_mode="exact",
+                          lam_align=0.3):
     return hamsoft_multistep(pos, vel, mass, eps, pi, k_soft=k_soft, mu=mu,
                              alpha=alpha, eps_min=eps_min, eps_max=eps_max,
                              h=h, n_sub=n_sub, n_steps=n_steps,
                              n_sub_max=n_sub_max, G=G, k_wall=k_wall,
-                             eta=eta, jcap=jcap, bexp=bexp, lanes=lanes)
+                             eta=eta, jcap=jcap, bexp=bexp, lanes=lanes,
+                             policy=policy, grad_mode=grad_mode,
+                             lam_align=lam_align)
 
 
 def hamsoft_megno_multistep(pos, vel, mass, eps, pi, dr, dv, *, k_soft, mu,
@@ -570,7 +749,9 @@ def hamsoft_megno_multistep(pos, vel, mass, eps, pi, dr, dv, *, k_soft, mu,
                             n_steps: int, n_sub_max: int, G: float = 1.0,
                             k_wall: float = 1e9, eta: float = 1.35,
                             jcap: float = 0.02, bexp: int = 5,
-                            lanes: int = 128, interpret: bool = False):
+                            lanes: int = 128, interpret: bool = False,
+                            policy: str = "soft", grad_mode: str = "exact",
+                            lam_align: float = 0.3):
     """MEGNO continuation: advance the batch ``n_steps`` macro steps
     with the tangent map fused in VMEM (the full-mode analysis tail,
     diagnostics/megno.py:49-101).
@@ -595,7 +776,8 @@ def hamsoft_megno_multistep(pos, vel, mass, eps, pi, dr, dv, *, k_soft, mu,
         kernel = functools.partial(
             _hamsoft_megno_kernel, n=n, dim=dim, n_steps=n_steps,
             n_sub_max=n_sub_max, G=G, k_wall=k_wall, eta=eta, jcap=jcap,
-            bexp=bexp)
+            bexp=bexp, policy=policy, grad_mode=grad_mode,
+            lam_align=lam_align)
         L = B // _SUB
         grid = (L // lanes,)
         bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
