@@ -65,7 +65,7 @@ def cohort_sizes(n_systems: int) -> dict:
 
 
 def diverse_population(key, n_systems: int, *, n_slots: int = 8,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, dim: int = 2):
     """Draw the four-cohort diverse population as (B, N, d) arrays.
 
     Returns (mass, pos, vel, mask, softening, types): padded+masked
@@ -81,6 +81,13 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
       softening 0.05;
     * close encounter (rest): n in [3,4], scale 0.1, virial 1.5,
       perturbation 0.3, softening 0.001.
+
+    ``dim=3`` (the reference is d=2-only, simulation_state.py:29-31;
+    the BASELINE north star says (batch, N, 3)) draws the random and
+    close-encounter cohorts with isotropic 3-D positions/velocities,
+    gives hierarchical triples an isotropic mutual inclination
+    (cos i ~ U(-1, 1) — the Kozai-Lidov-active regime included), and
+    embeds polygons with a random tilt.
     """
     sizes = cohort_sizes(n_systems)
     k_rand, k_hier, k_poly, k_close = jax.random.split(key, 4)
@@ -94,7 +101,7 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
         soft = 0.001 + hp[3] * (0.1 - 0.001)
         m, q, v, mask = generate_population(
             k_gen, sample_body_counts(k_n, B, (3, 5)), n_slots=n_slots,
-            log_mass=(jnp.arange(B) % 2 == 0),
+            dim=dim, log_mass=(jnp.arange(B) % 2 == 0),
             position_scale=0.5 + hp[0] * 1.5,
             virial_fraction=0.8 + hp[1] * 0.4,
             perturbation=0.05 + hp[2] * 0.15,
@@ -106,9 +113,16 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
     if B:
         k_hp, k_noise = jax.random.split(k_hier)
         hp = jax.random.uniform(k_hp, (3, B), dtype)
+        inc = None
+        if dim == 3:
+            # extra key drawn only on the 3-D path so the 2-D stream
+            # stays bit-identical to the round-2 datasets
+            cos_i = jax.random.uniform(jax.random.fold_in(k_hier, 3),
+                                       (B,), dtype, -1.0, 1.0)
+            inc = jnp.arccos(cos_i)
         m, q, v, mask = hierarchical_triple_batch(
             0.1 + hp[0] * 0.9, 0.1 + hp[1] * 1.9, 3.0 + hp[2] * 47.0,
-            n_slots=n_slots, dtype=dtype)
+            n_slots=n_slots, dtype=dtype, inclination=inc)
         v = v + jax.random.normal(k_noise, v.shape, dtype) * 0.05
         v = jnp.where(mask[..., None], v, 0.0)
         parts.append((m, q, v, mask, jnp.full((B,), 0.01, dtype),
@@ -119,9 +133,13 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
     if B:
         k_n, k_hp = jax.random.split(k_poly)
         hp = jax.random.uniform(k_hp, (2, B), dtype)
+        tilt = None
+        if dim == 3:
+            tilt = jax.random.uniform(jax.random.fold_in(k_poly, 3),
+                                      (B,), dtype) * jnp.pi
         m, q, v, mask = polygon_batch(
             jax.random.randint(k_n, (B,), 3, 8), 0.5 + hp[0] * 2.5,
-            hp[1], n_slots=n_slots, dtype=dtype)
+            hp[1], n_slots=n_slots, dtype=dtype, tilt=tilt)
         parts.append((m, q, v, mask, jnp.full((B,), 0.05, dtype), "polygon"))
 
     # -- close-encounter cohort -------------------------------------------
@@ -130,8 +148,8 @@ def diverse_population(key, n_systems: int, *, n_slots: int = 8,
         k_n, k_gen = jax.random.split(k_close)
         m, q, v, mask = generate_population(
             k_gen, sample_body_counts(k_n, B, (3, 4)), n_slots=n_slots,
-            position_scale=0.1, virial_fraction=1.5, perturbation=0.3,
-            softening=0.001, dtype=dtype)
+            dim=dim, position_scale=0.1, virial_fraction=1.5,
+            perturbation=0.3, softening=0.001, dtype=dtype)
         parts.append((m, q, v, mask, jnp.full((B,), 0.001, dtype),
                       "close_encounter"))
 

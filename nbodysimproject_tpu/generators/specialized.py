@@ -29,7 +29,8 @@ from .ic_generator import com_momentum_projection, com_recenter
 def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
                               *, G=1.0, n_slots: int = 3,
                               dtype=jnp.float64,
-                              min_separation: float = 5.0):
+                              min_separation: float = 5.0,
+                              inclination=None):
     """(B,) parameter arrays -> (mass, pos, vel, mask) for a batch of
     hierarchical triples: an inner circular binary of unit semi-major
     axis plus an outer body at max(separation, min_separation) on a
@@ -65,6 +66,21 @@ def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
                      jnp.stack([zeros, v_outer], 1)], axis=1)
 
     pad = n_slots - 3
+    if inclination is not None:
+        # d = 3: inner binary stays in the xy-plane; the outer orbit is
+        # inclined by rotating its velocity about the x-axis (its
+        # position (a_outer, 0, 0) lies on the rotation axis).  High
+        # mutual inclinations give genuinely three-dimensional secular
+        # dynamics (Kozai-Lidov cycles) the 2-D reference cannot
+        # express — the BASELINE north star's (batch, N, 3) axis.
+        inc = jnp.asarray(inclination, dtype)
+        z3 = jnp.zeros((B, 3, 1), dtype)
+        pos = jnp.concatenate([pos, z3], axis=-1)
+        vy = vel[..., 1]
+        vz_out = jnp.stack([zeros, zeros, v_outer * jnp.sin(inc)], 1)
+        vy_new = vy * jnp.stack([jnp.ones_like(inc), jnp.ones_like(inc),
+                                 jnp.cos(inc)], 1)
+        vel = jnp.stack([vel[..., 0], vy_new, vz_out], axis=-1)
     if pad > 0:
         mass = jnp.pad(mass, ((0, 0), (0, pad)))
         pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)))
@@ -78,9 +94,14 @@ def hierarchical_triple_batch(mass_ratio1, mass_ratio2, separation_ratio,
 
 @partial(jax.jit, static_argnames=("n_slots", "dtype"))
 def polygon_batch(n_bodies, radius, rotation_fraction, *, G=1.0,
-                  n_slots: int = 8, dtype=jnp.float64):
+                  n_slots: int = 8, dtype=jnp.float64, tilt=None):
     """(B,) parameter arrays -> (mass, pos, vel, mask) for rotating
-    equal-mass polygons with per-system body counts (masked slots)."""
+    equal-mass polygons with per-system body counts (masked slots).
+
+    ``tilt`` (a (B,) angle array) embeds the ring in d = 3, rotated
+    about the x-axis — the dynamics is the planar ring's (an isolated
+    system is rotation-covariant) but the dataset's coordinate columns
+    exercise the full 3-D schema."""
     n = jnp.asarray(n_bodies, jnp.int32)
     R = jnp.asarray(radius, dtype)
     rot = jnp.asarray(rotation_fraction, dtype)
@@ -98,6 +119,16 @@ def polygon_batch(n_bodies, radius, rotation_fraction, *, G=1.0,
     v_scale = jnp.sqrt(Gb * nf[:, 0] / R) * rot
     vel = jnp.stack([-v_scale[:, None] * jnp.sin(theta),
                      v_scale[:, None] * jnp.cos(theta)], axis=-1)
+    if tilt is not None:
+        t = jnp.asarray(tilt, dtype)[:, None]
+        ct, st = jnp.cos(t), jnp.sin(t)
+
+        def rot_x(arr):
+            x, y = arr[..., 0], arr[..., 1]
+            return jnp.stack([x, y * ct, y * st], axis=-1)
+
+        pos = rot_x(pos)
+        vel = rot_x(vel)
     pos = jnp.where(mask[..., None], pos, 0.0)
     vel = jnp.where(mask[..., None], vel, 0.0)
     vel = jax.vmap(com_momentum_projection)(mass, vel, mask)
