@@ -153,7 +153,8 @@ def generate_dataset_sharded(seed: int, n_systems: int, *, out_dir: str,
                              process_index: int | None = None,
                              process_count: int | None = None,
                              reduce_stats: bool = True,
-                             show_progress: bool = True):
+                             show_progress: bool = True,
+                             cfg=None):
     """Generate + analyse this process's shard of the global population
     and write ``<out_dir>/shard_{i:05d}.csv.gz`` plus a stats JSON.
 
@@ -172,13 +173,15 @@ def generate_dataset_sharded(seed: int, n_systems: int, *, out_dir: str,
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
+    if cfg is None:
+        cfg = _PIPE_CFG
 
     mass, pos, vel, mask, soft, types = diverse_population(
         jax.random.PRNGKey(seed), n_systems, n_slots=8)
     lo, hi = shard_bounds(n_systems, process_index, process_count)
     tk = lambda x: np.asarray(x)[lo:hi]
 
-    df = analyze_population(tk(mass), tk(pos), tk(vel), tk(mask), _PIPE_CFG,
+    df = analyze_population(tk(mass), tk(pos), tk(vel), tk(mask), cfg,
                             G=1.0, softening=tk(soft), min_softening=0.0,
                             dt=dt, n_steps=n_steps, mode=mode, seed=seed,
                             id_offset=lo, show_progress=show_progress)
