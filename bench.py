@@ -248,6 +248,37 @@ def main():
                   f"rate={rate_k:.3e} sys-steps/s "
                   f"({rate_k / rate_hs:.2f}x the XLA scan)",
                   file=sys.stderr)
+
+            # reflection barrier policy (VERDICT round-2 item 3):
+            # fused kernel vs its own XLA scan path
+            cfg_rf = cfg_hs.replace(use_soft_barrier=False)
+            out_r = integrate_batch(states_h, dyns_h, cfg_rf, dt, hs_steps,
+                                    nsub_h)
+            np.asarray(out_r.pos[0, 0, 0])
+            best_rs = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out_r = integrate_batch(states_h, dyns_h, cfg_rf, dt,
+                                        hs_steps, nsub_h)
+                np.asarray(out_r.pos[0, 0, 0])
+                best_rs = min(best_rs, time.perf_counter() - t0)
+            rate_rs = B_HS * hs_steps / best_rs
+            details["hamsoft_refl_scan_steps_per_s"] = rate_rs
+
+            kor = hamsoft_multistep_jit(*args_h, policy="reflection")
+            np.asarray(jax.tree_util.tree_leaves(kor)[0].ravel()[0])
+            best_kr = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                kor = hamsoft_multistep_jit(*args_h, policy="reflection")
+                np.asarray(jax.tree_util.tree_leaves(kor)[0].ravel()[0])
+                best_kr = min(best_kr, time.perf_counter() - t0)
+            rate_kr = B_HS * hs_steps / best_kr
+            details["hamsoft_refl_fused_steps_per_s"] = rate_kr
+            details["hamsoft_refl_fused_vs_scan"] = rate_kr / rate_rs
+            print(f"[bench] ham_soft reflection-policy: scan "
+                  f"{rate_rs:.3e}, fused {rate_kr:.3e} sys-steps/s "
+                  f"({rate_kr / rate_rs:.2f}x)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] ham_soft bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
