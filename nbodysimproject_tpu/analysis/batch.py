@@ -340,6 +340,10 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     min_b = int(getattr(cfg, "early_exit_min_n_sub", 8))
     early_rows = np.zeros(B, bool)
 
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("NB_ANALYSIS_TIMING") == "1"
     groups = []
     for b in np.unique(buckets):
         for is_tail in (False, True):
@@ -347,6 +351,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             if len(gidx):
                 groups.append((int(b), is_tail, gidx))
     for b, is_tail, idx in groups:
+        _t0 = _time.perf_counter() if _timing else 0.0
         run_cfg = cfg_tail if is_tail else cfg
         r = None
         # the probe only applies to metric-producing modes: a
@@ -411,6 +416,10 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             for k, v in f.items():
                 feats_rows.setdefault(f"initial_{k}",
                                       np.zeros(B, v.dtype))[idx] = v
+        if _timing:
+            print(f"[analysis-timing] bucket n_sub={b} tail={is_tail} "
+                  f"n={len(idx)} pad={_group_pad(idx)[0]} "
+                  f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     res_np = {}
     if include_ics:

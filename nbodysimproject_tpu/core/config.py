@@ -133,6 +133,11 @@ class SimConfig:
     tail_min_n_sub: int = 64
     tail_dominance_margin: float = 3.0
     tail_min_gain: int = 8
+    # Kepler solver depth on the tail fast path: > 0 = fixed-iteration
+    # Laguerre-Conway (no cross-lane control flow — the adaptive
+    # while_loop's worst-lane gating dominated the tail bucket inside
+    # long analysis scans); 0 = adaptive 64-cap solver.
+    tail_kepler_iters: int = 8
     # Use the fused multi-step Pallas kernel inside batched analysis
     # (analysis/fused.py).  Opt-in: the kernel beats the XLA scan
     # 2.4-2.7x on pure integration (bench.py), but at the pipeline's

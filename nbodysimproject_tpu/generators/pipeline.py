@@ -194,6 +194,129 @@ def boundary_hier_population(key, n_systems: int, *, n_slots: int = 8,
     return m, q, v, mask, soft, ["hierarchical_boundary"] * n_systems
 
 
+def boundary_close_population(key, n_systems: int, *, n_slots: int = 8,
+                              dtype=jnp.float32, dim: int = 2):
+    """Close encounters straddling the stability edge.
+
+    The diverse mixture's close-encounter cohort (scale 0.1, virial
+    1.5, softening 1e-3) is 99.5% unstable — prior-degenerate like the
+    hierarchical slice (per_cohort_metrics_1M.json: TPR 0.0 at the
+    global threshold).  This cohort varies the virial fraction
+    U(0.6, 1.4), scale U(0.1, 0.5), perturbation U(0.05, 0.3) and
+    softening logU(1e-3, 3e-2) so close-encounter stability actually
+    varies and the operating point is learnable.
+    """
+    k_n, k_hp, k_gen = jax.random.split(key, 3)
+    hp = jax.random.uniform(k_hp, (4, n_systems), dtype)
+    soft = jnp.exp(jnp.log(1e-3) + hp[3] * (jnp.log(3e-2) - jnp.log(1e-3)))
+    m, q, v, mask = generate_population(
+        k_gen, sample_body_counts(k_n, n_systems, (3, 4)), n_slots=n_slots,
+        dim=dim, position_scale=0.1 + hp[0] * 0.4,
+        virial_fraction=0.6 + hp[1] * 0.8,
+        perturbation=0.05 + hp[2] * 0.25,
+        softening=soft, dtype=dtype)
+    return m, q, v, mask, soft, ["close_encounter_boundary"] * n_systems
+
+
+#: headline v3 mixture (VERDICT round-2 item 2): the four reference
+#: cohorts plus the two stability-edge slices as first-class members,
+#: so the hierarchical and close-encounter populations carry label
+#: variance a classifier must actually predict.
+HEADLINE_V3_FRACTIONS = {"random": 0.35, "hierarchical": 0.15,
+                         "hierarchical_boundary": 0.15, "polygon": 0.15,
+                         "close_encounter": 0.10}
+
+
+def headline_population(key, n_systems: int, *, n_slots: int = 8,
+                        dtype=jnp.float32, dim: int = 2):
+    """The round-3 headline mixture: diverse cohorts + boundary slices.
+
+    Returns (mass, pos, vel, mask, softening, types).  Slices:
+    random 35%, hierarchical 15%, hierarchical_boundary 15% (separation
+    U(1.5, 5) x velocity noise U(0.1, 0.5) — across the
+    Mardling-Aarseth edge), polygon 15%, close_encounter 10%,
+    close_encounter_boundary (rest ~10%).
+    """
+    fr = HEADLINE_V3_FRACTIONS
+    n_r = int(fr["random"] * n_systems)
+    n_h = int(fr["hierarchical"] * n_systems)
+    n_hb = int(fr["hierarchical_boundary"] * n_systems)
+    n_p = int(fr["polygon"] * n_systems)
+    n_c = int(fr["close_encounter"] * n_systems)
+    n_cb = n_systems - n_r - n_h - n_hb - n_p - n_c
+
+    k_div, k_hb, k_cb = jax.random.split(key, 3)
+    # the four standard cohorts reuse diverse_population's draws at
+    # scaled sizes (keeps each slice's hyperparameter distributions
+    # identical to the reference mixture)
+    n_div = n_r + n_h + n_p + n_c
+    # diverse_population's internal fractions are 0.4/0.3/0.2/rest; we
+    # re-derive a size whose splits approximate ours, then trim
+    m, q, v, mask, soft, types = diverse_population(
+        k_div, n_div, n_slots=n_slots, dtype=dtype, dim=dim)
+    t = np.asarray(types)
+    keep = []
+    budget = {"random": n_r, "hierarchical": n_h, "polygon": n_p,
+              "close_encounter": n_c}
+    for i, ty in enumerate(t):
+        if budget.get(ty, 0) > 0:
+            keep.append(i)
+            budget[ty] -= 1
+    short = {k: vv for k, vv in budget.items() if vv > 0}
+    if short:
+        # top up underfilled slices with a second draw
+        m2, q2, v2, mask2, soft2, types2 = diverse_population(
+            jax.random.fold_in(k_div, 1), n_div, n_slots=n_slots,
+            dtype=dtype, dim=dim)
+        t2 = np.asarray(types2)
+        extra = []
+        for i, ty in enumerate(t2):
+            if short.get(ty, 0) > 0:
+                extra.append(i)
+                short[ty] -= 1
+        keep_idx = np.asarray(keep, np.int64)
+        extra_idx = np.asarray(extra, np.int64)
+        m = jnp.concatenate([m[keep_idx], m2[extra_idx]])
+        q = jnp.concatenate([q[keep_idx], q2[extra_idx]])
+        v = jnp.concatenate([v[keep_idx], v2[extra_idx]])
+        mask = jnp.concatenate([mask[keep_idx], mask2[extra_idx]])
+        soft = jnp.concatenate([soft[keep_idx], soft2[extra_idx]])
+        types = [types[i] for i in keep] + [types2[i] for i in extra]
+    else:
+        keep_idx = np.asarray(keep, np.int64)
+        m, q, v = m[keep_idx], q[keep_idx], v[keep_idx]
+        mask, soft = mask[keep_idx], soft[keep_idx]
+        types = [types[i] for i in keep]
+
+    parts = [(m, q, v, mask, soft, types)]
+    if n_hb:
+        hb = boundary_hier_population(k_hb, n_hb, n_slots=n_slots,
+                                      dtype=dtype, sep_range=(1.5, 5.0),
+                                      noise_range=(0.1, 0.5))
+        if dim == 3:
+            # embed the planar boundary triples in 3-D (z = 0): the
+            # dynamics is planar but the schema matches the batch
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], -1)
+            hb = (hb[0], pad(hb[1]), pad(hb[2]), hb[3], hb[4],
+                  ["hierarchical_boundary"] * n_hb)
+        else:
+            hb = hb[:5] + (["hierarchical_boundary"] * n_hb,)
+        parts.append(hb)
+    if n_cb:
+        parts.append(boundary_close_population(k_cb, n_cb,
+                                               n_slots=n_slots,
+                                               dtype=dtype, dim=dim))
+
+    mass = jnp.concatenate([p[0] for p in parts])
+    pos = jnp.concatenate([p[1] for p in parts])
+    vel = jnp.concatenate([p[2] for p in parts])
+    msk = jnp.concatenate([p[3] for p in parts])
+    sft = jnp.concatenate([p[4] for p in parts])
+    tys = sum((list(p[5]) for p in parts), [])
+    return mass, pos, vel, msk, sft, tys
+
+
 class MLTrainingPipeline:
     def __init__(self, n_systems: int = 1000, n_steps: int = 1000,
                  dt: float = 0.01, seed: int = 0):

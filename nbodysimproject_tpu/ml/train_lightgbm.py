@@ -44,7 +44,14 @@ def _make_estimator_and_grid():
 
 
 def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
-               prefix: str = "", features: str = "all"):
+               prefix: str = "", features: str = "all",
+               hold_out_val: bool = False, return_probs: bool = False):
+    """Train the GBDT.  ``hold_out_val=True`` keeps the validation
+    split out of the fit so operating thresholds can be calibrated on
+    it (per-cohort thresholds, VERDICT round-2 item 2); the default
+    refits on train+val like the reference's direct split.
+    ``return_probs=True`` returns (metrics, extras) with the val/test
+    probabilities for downstream calibration."""
     from sklearn.model_selection import GridSearchCV, StratifiedKFold
     from sklearn.metrics import (accuracy_score, precision_score,
                                  recall_score, f1_score, roc_auc_score)
@@ -59,10 +66,13 @@ def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
                                     seed=42)
     X_train, X_val, X_test, y_train, y_val, y_test, scaler = out
 
-    # trees don't need the val split — refit on train+val like the
-    # reference's direct train split
-    X_fit = np.concatenate([X_train, X_val])
-    y_fit = np.concatenate([y_train, y_val])
+    if hold_out_val:
+        X_fit, y_fit = X_train, y_train
+    else:
+        # trees don't need the val split — refit on train+val like the
+        # reference's direct train split
+        X_fit = np.concatenate([X_train, X_val])
+        y_fit = np.concatenate([y_train, y_val])
 
     est, grid = _make_estimator_and_grid()
     n_splits = min(cv, max(2, int(min(np.sum(y_fit == 0), np.sum(y_fit == 1)))))
@@ -98,6 +108,10 @@ def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
     with open(prefix + "scaler.pkl", "wb") as f:
         pickle.dump(scaler, f)
     print("Model + scaler saved")
+    if return_probs:
+        extras = dict(prob_val=model.predict_proba(X_val)[:, 1],
+                      y_val=y_val, prob_test=probs, y_test=y_test)
+        return metrics, extras
     return metrics
 
 

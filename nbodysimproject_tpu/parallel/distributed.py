@@ -61,7 +61,35 @@ def initialize_distributed(coordinator_address: str | None = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    # establish the collective transport NOW, while all processes are
+    # still in lockstep from the coordinator rendezvous: the first
+    # all-reduce creates the Gloo/ICI communicator, and deferring it to
+    # the end of an asymmetric compile-heavy workload can exceed the
+    # transport's connect timeout (observed: two CPU workers drifting
+    # minutes apart -> "Gloo context initialization failed")
+    try:
+        _warmup_collective()
+    except Exception as e:  # pragma: no cover - transport specific
+        print(f"[distributed] warmup collective failed: "
+              f"{type(e).__name__}: {e}")
     return True
+
+
+def _warmup_collective():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("hosts",))
+    ldc = jax.local_device_count()
+    rows = np.ones((ldc, 1), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("hosts")), rows, (len(devs), 1))
+    f = jax.jit(shard_map(lambda t: jax.lax.psum(t, "hosts"), mesh=mesh,
+                          in_specs=P("hosts"), out_specs=P()))
+    np.asarray(jax.device_get(f(arr)))
 
 
 def shard_bounds(n: int, process_index: int, process_count: int

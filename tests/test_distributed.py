@@ -98,7 +98,7 @@ class TestTwoProcessRuntime:
         # Gloo (the CPU collectives transport) must bind the loopback
         # interface in sandboxed environments
         env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu",
-                   GLOO_SOCKET_IFNAME="lo")
+                   GLOO_SOCKET_IFNAME="lo", DIST_CAP="32")
         procs = [subprocess.Popen(
             [sys.executable, worker, str(port), str(i), "2", out_dir,
              str(N_SYSTEMS), str(N_STEPS)],
@@ -127,10 +127,13 @@ class TestTwoProcessRuntime:
         np.testing.assert_allclose(s0["count"], s1["count"])
 
         # equal to the single-process statistics
+        from nbodysimproject_tpu.generators.pipeline import _PIPE_CFG
+
+        cfg32 = _PIPE_CFG.replace(analysis_n_sub_cap=32, tail_min_n_sub=16)
         df_single, st = generate_dataset_sharded(
             seed=0, n_systems=N_SYSTEMS, out_dir=str(tmp_path / "one"),
             n_steps=N_STEPS, process_index=0, process_count=1,
-            reduce_stats=False, show_progress=False)
+            reduce_stats=False, show_progress=False, cfg=cfg32)
         ref = statistics_summary(st)
         np.testing.assert_allclose(s0["count"], ref["count"])
         # batch-shape rounding tolerance (see sharded-union test)

@@ -222,3 +222,28 @@ def test_f32_tail_drift_within_verdict_margin():
     assert df["tail_fast_path"].values[0]
     assert df["energy_drift"].values[0] < 1e-3
     assert df["is_stable"].values[0] == 1.0
+
+
+def test_eccentric_multiperiod_kepler_accuracy():
+    """The fixed-depth LC-8 drift (tail default) must hold H_fast on a
+    highly-eccentric tight binary across many periods per macro step —
+    the regime where a fixed-iteration solver could silently diverge
+    from the adaptive one."""
+    a = 0.004
+    m = np.array([1.0, 0.4])
+    mu = m.sum()
+    # apoapsis start, e = 0.9: v_apo = sqrt(mu (1-e) / (a (1+e)))
+    e = 0.9
+    r_apo = a * (1 + e)
+    v_apo = np.sqrt(mu * (1 - e) / (a * (1 + e)))
+    pos = np.array([[-m[1] / mu * r_apo, 0.0], [m[0] / mu * r_apo, 0.0]])
+    vel = np.array([[0.0, -m[1] / mu * v_apo], [0.0, m[0] / mu * v_apo]])
+    cfg = nb.SimConfig(integrator_mode="ham_soft", analysis_n_sub_cap=64,
+                       analysis_tail_policy="kepler", tail_min_n_sub=16)
+    df = analyze_population(m[None], pos[None], vel[None],
+                            np.ones((1, 2), bool), cfg, G=1.0,
+                            softening=0.05, dt=0.01, n_steps=100,
+                            mode="core", show_progress=False)
+    assert df["tail_fast_path"].values[0]
+    assert df["energy_drift"].values[0] < 1e-8
+    assert df["is_stable"].values[0] == 1.0

@@ -26,9 +26,19 @@ def main():
     assert ok and jax.process_count() == int(nproc), (
         f"distributed init failed: process_count={jax.process_count()}")
 
+    # DIST_CAP bounds the analysis substep cap (test harness: two
+    # workers compile concurrently on one CPU host; the production
+    # cap-256 program set does not fit the test timeout there)
+    cfg = None
+    cap = int(os.environ.get("DIST_CAP", "0"))
+    if cap:
+        from nbodysimproject_tpu.generators.pipeline import _PIPE_CFG
+
+        cfg = _PIPE_CFG.replace(analysis_n_sub_cap=cap,
+                                tail_min_n_sub=max(8, cap // 2))
     generate_dataset_sharded(seed=0, n_systems=int(n_systems),
                              out_dir=out_dir, n_steps=int(n_steps),
-                             mode="full", show_progress=False)
+                             mode="full", show_progress=False, cfg=cfg)
     print(f"[worker {pid}] done", flush=True)
     # The shard and its statistics are already on disk; the shutdown
     # barrier is cleanup only.  On a loaded single-core host the peers

@@ -30,10 +30,15 @@ import numpy as np
 B = int(os.environ.get("HEADLINE_B", 131072))
 N_STEPS = int(os.environ.get("HEADLINE_STEPS", 1000))
 SEED = int(os.environ.get("HEADLINE_SEED", 42))
+#: "v3" = boundary slices as first-class cohorts (round-3 headline);
+#: "diverse" = the round-2 four-cohort reference mixture
+MIX = os.environ.get("HEADLINE_MIX", "v3")
+DIM = int(os.environ.get("HEADLINE_DIM", 2))
 CSV = os.environ.get("HEADLINE_CSV",
                      f"data/stability_{B // 1024}k.csv.gz")
 METRICS_JSON = os.environ.get("HEADLINE_METRICS",
                               "data/headline_metrics.json")
+MODEL_PREFIX = os.environ.get("HEADLINE_PREFIX", "data/headline_pre_")
 
 
 def log(msg):
@@ -41,12 +46,13 @@ def log(msg):
 
 
 def main():
-    from nbodysimproject_tpu.generators.pipeline import (diverse_population,
-                                                         _PIPE_CFG)
+    from nbodysimproject_tpu.generators.pipeline import (
+        diverse_population, headline_population, _PIPE_CFG)
     from nbodysimproject_tpu.analysis.batch import analyze_population
     from nbodysimproject_tpu.ml.dataset import StabilityDataset
 
-    log(f"device={jax.devices()[0]} B={B} steps={N_STEPS}")
+    log(f"device={jax.devices()[0]} B={B} steps={N_STEPS} mix={MIX} "
+        f"dim={DIM}")
 
     if os.environ.get("HEADLINE_REUSE") == "1" and os.path.exists(CSV):
         # resume mode: keep the persisted dataset, redo training only
@@ -58,8 +64,9 @@ def main():
         return finish(df, CSV, t_an, reused=True)
 
     t0 = time.perf_counter()
-    mass, pos, vel, mask, soft, types = diverse_population(
-        jax.random.PRNGKey(SEED), B, n_slots=8)
+    pop_fn = headline_population if MIX == "v3" else diverse_population
+    mass, pos, vel, mask, soft, types = pop_fn(
+        jax.random.PRNGKey(SEED), B, n_slots=8, dim=DIM)
     jax.block_until_ready(mass)
     log(f"generation: {time.perf_counter() - t0:.1f}s")
 
@@ -100,6 +107,97 @@ def main():
     return finish(df, CSV, t_an)
 
 
+def _youden_threshold(prob, y):
+    """Threshold maximising TPR + TNR - 1 over probability quantiles
+    (the reference's operating-point rule, train_mlp.py:141-187)."""
+    best_t, best_j = 0.5, -1.0
+    for t in np.quantile(prob, np.linspace(0.01, 0.99, 99)):
+        pred = prob > t
+        tpr = pred[y == 1].mean() if (y == 1).any() else 0.0
+        tnr = 1.0 - pred[y == 0].mean() if (y == 0).any() else 0.0
+        j = tpr + tnr - 1.0
+        if j > best_j:
+            best_j, best_t = j, float(t)
+    return best_t
+
+
+def calibrated_operating_points(prob_val, y_val, c_val, prob_te, y_te,
+                                c_te, global_thr):
+    """Per-cohort thresholds picked on the VALIDATION split, evaluated
+    on the test split (VERDICT round-2 item 2: the shipped global
+    Youden threshold misclassifies every stable close-encounter
+    system; a per-cohort operating point recovers it).
+
+    Returns (thresholds, report): thresholds maps cohort -> threshold
+    (validation-calibrated, global fallback for one-class cohorts);
+    report holds per-cohort test metrics at those thresholds.
+    """
+    from nbodysimproject_tpu.ml.train_mlp import _binary_metrics
+
+    thresholds = {"__global__": float(global_thr)}
+    for c in sorted(set(c_val.tolist())):
+        sel = c_val == c
+        yv = y_val[sel]
+        if 0.0 < yv.mean() < 1.0:
+            thresholds[str(c)] = _youden_threshold(prob_val[sel], yv)
+        else:
+            thresholds[str(c)] = float(global_thr)
+
+    report = {}
+    for c in sorted(set(c_te.tolist())):
+        sel = c_te == c
+        yt = y_te[sel]
+        pb = prob_te[sel]
+        thr = thresholds.get(str(c), float(global_thr))
+        row = {"n": int(sel.sum()), "threshold": thr,
+               "stable_fraction": float(yt.mean())}
+        if 0.0 < yt.mean() < 1.0:
+            row.update(_binary_metrics(yt, (pb > thr).astype(np.float64),
+                                       pb))
+        report[str(c)] = row
+    # union slices: the VERDICT done-criteria are about the combined
+    # hierarchical (standard + boundary) and close-encounter groups
+    for stem in ("hierarchical", "close_encounter"):
+        sel = np.array([str(c).startswith(stem) for c in c_te])
+        if sel.any():
+            yt, pb = y_te[sel], prob_te[sel]
+            thr_arr = np.asarray([thresholds.get(str(c), float(global_thr))
+                                  for c in c_te[sel]])
+            row = {"n": int(sel.sum()), "stable_fraction": float(yt.mean())}
+            if 0.0 < yt.mean() < 1.0:
+                row.update(_binary_metrics(
+                    yt, (pb > thr_arr).astype(np.float64), pb))
+            report[f"__{stem}_union__"] = row
+    # overall metrics at the per-cohort thresholds
+    thr_arr = np.asarray([thresholds.get(str(c), float(global_thr))
+                          for c in c_te])
+    pred = (prob_te > thr_arr).astype(np.float64)
+    report["__overall__"] = _binary_metrics(y_te, pred, prob_te)
+    return thresholds, report
+
+
+def _split_cohorts(df):
+    """Recover the val/test row cohorts of the deterministic split
+    (the splitter depends only on (n, y, seed, stratify); splitting an
+    index vector with the same parameters reproduces the partition —
+    same trick as tools/eval_per_cohort.py)."""
+    from nbodysimproject_tpu.ml.data_utils import DataUtils
+
+    y = df["is_stable"].values.astype(np.float64)
+    valid = ~np.isnan(y)
+    y = y[valid]
+    cohorts = df.loc[valid, "system_type"].values if "system_type" in df \
+        else np.array(["unknown"] * valid.sum())
+    idx = np.arange(len(y))[:, None].astype(np.float64)
+    _tr, I_val, I_te, _ytr, y_val, y_te, sc = DataUtils.split_and_scale(
+        idx, y, test_size=0.15, val_size=0.15, seed=42)
+    unscale = lambda I: np.round(
+        sc.inverse_transform(I)[:, 0]).astype(int) \
+        if hasattr(sc, "inverse_transform") else I[:, 0].astype(int)
+    vi, ti = unscale(I_val), unscale(I_te)
+    return cohorts[vi], y_val, cohorts[ti], y_te
+
+
 def finish(df, CSV, t_an, reused=False):
     """Training + metrics on a persisted dataset (separated so a
     crashed/killed training phase can resume with HEADLINE_REUSE=1
@@ -127,6 +225,8 @@ def finish(df, CSV, t_an, reused=False):
     from nbodysimproject_tpu.ml.train_mlp import MLPTrainer
     from nbodysimproject_tpu.ml.train_lightgbm import train_gbdt
 
+    c_val, y_val_ref, c_te, y_te_ref = _split_cohorts(df)
+
     for group in ("pre", "all"):
         log(f"training MLP on '{group}' features...")
         t0 = time.perf_counter()
@@ -142,21 +242,72 @@ def finish(df, CSV, t_an, reused=False):
         log(f"MLP[{group}]: AUROC={m['auroc']:.4f} "
             f"BA={m['balanced_accuracy']:.4f} ({m['train_seconds']:.0f}s)")
         if group == "pre":
-            trainer.save_model(prefix="data/headline_pre_")
+            trainer.save_model(prefix=MODEL_PREFIX)
+            # productised per-cohort operating points (calibrated on
+            # the validation split, shipped in the model metadata)
+            pv = np.asarray(trainer.predict_proba(X_val)).ravel()
+            pt = np.asarray(trainer.predict_proba(X_test)).ravel()
+            thr, rep = calibrated_operating_points(
+                pv, y_val.astype(np.float64), c_val, pt,
+                y_test.astype(np.float64), c_te,
+                trainer.optimal_threshold)
+            results["mlp_pre_cohort_operating_points"] = rep
+            _amend_metadata(MODEL_PREFIX + "model_metadata.json", thr)
+            for c, row in rep.items():
+                log(f"MLP cohort {c}: thr={row.get('threshold', '-')} "
+                    f"BA={row.get('balanced_accuracy', float('nan')):.4f}"
+                    if c != "__overall__" else
+                    f"MLP overall@cohort-thr: "
+                    f"BA={row['balanced_accuracy']:.4f}")
 
     for group in ("pre",):
         log(f"training GBDT on '{group}' features...")
         t0 = time.perf_counter()
-        m = train_gbdt(CSV, prefix="data/headline_pre_gbdt_",
-                       features=group)
+        m, extras = train_gbdt(CSV, prefix=MODEL_PREFIX + "gbdt_",
+                               features=group, hold_out_val=True,
+                               return_probs=True)
         m["train_seconds"] = time.perf_counter() - t0
         results[f"gbdt_{group}"] = m
         log(f"GBDT[{group}]: AUROC={m['auroc']:.4f} "
             f"BA={m['balanced_accuracy']:.4f} ({m['train_seconds']:.0f}s)")
+        thr_g = _youden_threshold(extras["prob_val"],
+                                  extras["y_val"].astype(np.float64))
+        thr, rep = calibrated_operating_points(
+            extras["prob_val"], extras["y_val"].astype(np.float64), c_val,
+            extras["prob_test"], extras["y_test"].astype(np.float64), c_te,
+            thr_g)
+        results["gbdt_pre_cohort_operating_points"] = rep
+        _amend_metadata(MODEL_PREFIX + "gbdt_metadata.json", thr,
+                        create=True)
+        log(f"GBDT overall@cohort-thr: "
+            f"BA={rep['__overall__']['balanced_accuracy']:.4f}")
+
+    # within-(hierarchical union boundary) discrimination — the
+    # round-2 item 2 done-criterion metric
+    for model_key in ("mlp_pre_cohort_operating_points",
+                      "gbdt_pre_cohort_operating_points"):
+        rep = results.get(model_key, {})
+        hs = [r for c, r in rep.items() if c.startswith("hierarchical")]
+        if hs:
+            results[model_key.replace("cohort_operating_points",
+                                      "hier_slices")] = hs
 
     with open(METRICS_JSON, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {METRICS_JSON}")
+
+
+def _amend_metadata(path, thresholds, create=False):
+    meta = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            meta = json.load(f)
+    elif not create:
+        return
+    meta["cohort_thresholds"] = thresholds
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2)
+    log(f"amended {path} with cohort thresholds")
 
 
 if __name__ == "__main__":
