@@ -294,6 +294,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     g_uniform = g_np.size == 1 or bool((g_np == g_np.flat[0]).all())
     _LANES = 128  # 256-lane blocks spill the 16M scoped-VMEM budget at N=8 slots
 
+    quantum = int(getattr(cfg, "analysis_group_quantum", 0) or 0)
+
     def _group_pad(idx, min_bsz=1):
         """Power-of-two padding so repeated runs reuse compiled
         programs (shared by the metric runs and the feature pass)."""
@@ -301,6 +303,26 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         pad_idx = np.concatenate([idx, np.repeat(idx[:1], bsz - len(idx))])
         take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
         return bsz, pad_idx, take
+
+    def _chunks(idx, min_bsz=1):
+        """Dispatch plan for a group: list of (pad_idx, bsz, n_valid).
+
+        quantum == 0: one power-of-two padded dispatch (interactive
+        default).  quantum > 0: fixed chunks of exactly ``quantum``
+        lanes, so the compiled program shape — hence per-lane f32
+        rounding — is identical no matter how the population was
+        sharded (cfg.analysis_group_quantum; the bit-reproducibility
+        contract of parallel/distributed.py)."""
+        if quantum <= 0:
+            bsz, pad_idx, _ = _group_pad(idx, min_bsz)
+            return [(pad_idx, bsz, len(idx))]
+        out = []
+        for s in range(0, len(idx), quantum):
+            part = idx[s:s + quantum]
+            pad = np.concatenate(
+                [part, np.repeat(part[:1], quantum - len(part))])
+            out.append((pad, quantum, len(part)))
+        return out
 
     def _run_group(idx, n_steps_run, mode_run, b, megno_run, min_bsz=1,
                    run_cfg=None):
@@ -311,22 +333,29 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         on the fused path its bucket used).  ``run_cfg`` overrides the
         integrator config (the tail fast path's kepler_split mode)."""
         rcfg = cfg if run_cfg is None else run_cfg
-        bsz, pad_idx, take = _group_pad(idx, min_bsz)
-        if (g_uniform and bsz % (8 * _LANES) == 0
-                and fused_path_applicable(rcfg, mode_run, bsz, dtype,
-                                          _LANES)):
-            r, _ = analyze_batch_fused(take(states), take(dyns), rcfg,
-                                       keys[pad_idx], int(n_steps_run),
-                                       jnp.asarray(dt, dtype), mode_run,
-                                       int(b), megno_run, _LANES,
-                                       float(g_np.flat[0]))
-        else:
-            r, _ = analyze_batch_jit(take(states), take(dyns), rcfg,
-                                     keys[pad_idx], int(n_steps_run),
-                                     jnp.asarray(dt, dtype), mode_run,
-                                     int(b), megno_run)
-        return {k: np.asarray(jax.device_get(v))[:len(idx)]
-                for k, v in r.items()}
+        parts = []
+        for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
+            take = lambda t: jax.tree_util.tree_map(
+                lambda x: x[pad_idx], t)
+            if (g_uniform and bsz % (8 * _LANES) == 0
+                    and fused_path_applicable(rcfg, mode_run, bsz, dtype,
+                                              _LANES)):
+                r, _ = analyze_batch_fused(take(states), take(dyns), rcfg,
+                                           keys[pad_idx], int(n_steps_run),
+                                           jnp.asarray(dt, dtype), mode_run,
+                                           int(b), megno_run, _LANES,
+                                           float(g_np.flat[0]))
+            else:
+                r, _ = analyze_batch_jit(take(states), take(dyns), rcfg,
+                                         keys[pad_idx], int(n_steps_run),
+                                         jnp.asarray(dt, dtype), mode_run,
+                                         int(b), megno_run)
+            parts.append({k: np.asarray(jax.device_get(v))[:n_valid]
+                          for k, v in r.items()})
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([p[k] for p in parts])
+                for k in parts[0]}
 
     # early-exit policy for the pathological tail (see cfg docstrings):
     # high-n_sub systems dominate wall clock, and most of them blow up
@@ -361,7 +390,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         if (probe_frac > 0.0 and b >= min_b and n_steps >= 20
                 and not is_tail and mode in ("core", "full")):
             n_probe = max(10, int(round(n_steps * probe_frac)))
-            bucket_bsz, _, _ = _group_pad(idx)
+            bucket_bsz = _chunks(idx)[0][1]
             bucket_fused = (g_uniform
                             and bucket_bsz % (8 * _LANES) == 0
                             and fused_path_applicable(cfg, mode,
@@ -406,10 +435,16 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             r = _run_group(idx, n_steps, mode, b, megno_steps,
                            run_cfg=run_cfg)
         if mode == "full":
-            _, _, take = _group_pad(idx)
-            f = _features_batch_jit(take(states), take(dyns), cfg)
-            f = {k: np.asarray(jax.device_get(v))[:len(idx)]
-                 for k, v in f.items()}
+            fparts = []
+            for pad_idx, _bsz, n_valid in _chunks(idx):
+                take = lambda t: jax.tree_util.tree_map(
+                    lambda x: x[pad_idx], t)
+                fr = _features_batch_jit(take(states), take(dyns), cfg)
+                fparts.append({k: np.asarray(jax.device_get(v))[:n_valid]
+                               for k, v in fr.items()})
+            f = fparts[0] if len(fparts) == 1 else {
+                k: np.concatenate([p[k] for p in fparts])
+                for k in fparts[0]}
         for k, v in r.items():
             res_rows.setdefault(k, np.zeros(B, v.dtype))[idx] = v
         if mode == "full":
@@ -418,7 +453,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                                       np.zeros(B, v.dtype))[idx] = v
         if _timing:
             print(f"[analysis-timing] bucket n_sub={b} tail={is_tail} "
-                  f"n={len(idx)} pad={_group_pad(idx)[0]} "
+                  f"n={len(idx)} pad={_chunks(idx)[0][1]} "
+                  f"chunks={len(_chunks(idx))} "
                   f"{_time.perf_counter() - _t0:.3f}s", flush=True)
 
     res_np = {}

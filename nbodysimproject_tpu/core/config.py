@@ -133,6 +133,20 @@ class SimConfig:
     tail_min_n_sub: int = 64
     tail_dominance_margin: float = 3.0
     tail_min_gain: int = 8
+    # Canonical dispatch width for batched-analysis groups.  0 = pad
+    # each (bucket, tail) group to its own power of two (fast
+    # interactive default).  > 0 = run every group in fixed chunks of
+    # exactly this many lanes: the compiled program SHAPE — hence XLA's
+    # fusion/FMA choices, hence per-lane f32 rounding — no longer
+    # depends on how the population was sharded across hosts, so a
+    # process-sharded dataset (parallel/distributed.py) is
+    # BIT-reproducible against the single-process run even for chaotic
+    # systems that amplify 1-ulp differences.  Lanes are independent
+    # (no cross-lane control flow in either engine), so chunk
+    # membership cannot leak between systems.  Dataset pipelines set
+    # 1024 (= the fused engine's 8x128 block, so small groups ride the
+    # fused path too); costs one padded dispatch per partial chunk.
+    analysis_group_quantum: int = 0
     # Kepler solver depth on the tail fast path: > 0 = fixed-iteration
     # Laguerre-Conway (no cross-lane control flow — the adaptive
     # while_loop's worst-lane gating dominated the tail bucket inside

@@ -43,7 +43,12 @@ _PIPE_CFG = SimConfig(slot_bucket=8, fast_float32=True,
                       # 496 vs 408 systems/s warm at B=16k full mode
                       # (bench 2026-08; compile is ~2x the scan path,
                       # amortised at dataset batch sizes)
-                      use_fused_analysis=True)
+                      use_fused_analysis=True,
+                      # canonical 1024-lane dispatches: dataset rows are
+                      # bit-reproducible across shard topologies (see
+                      # core/config.py), and small groups ride the fused
+                      # engine's 8x128 block instead of a tiny scan
+                      analysis_group_quantum=1024)
 # early_exit_probe stays OFF for the diverse mixture: measured warm
 # 354.7 vs 446 systems/s WITH the probe at B=16k — the high-n_sub tail
 # here is dominated by legitimately-tight *stable* binaries (the frozen

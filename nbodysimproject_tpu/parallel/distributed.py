@@ -145,21 +145,29 @@ def reduce_statistics_global(stats: dict) -> dict:
     def allsum(x):
         # one row per device; each process contributes x once in total
         # (its ldc rows carry x/ldc each), so the psum over the device
-        # axis is exactly the sum over processes
-        x = np.asarray(x, np.float64)
-        local_rows = np.broadcast_to(x / ldc, (ldc,) + x.shape)
-        global_arr = jax.make_array_from_process_local_data(
-            sharding, local_rows, (n_dev,) + x.shape)
+        # axis is exactly the sum over processes.  The moments are f64
+        # on the host; ride the collective in f64 too (enable_x64 is
+        # scoped — the CPU workers run with x64 globally off), else the
+        # f32 round-trip costs ~1e-7 relative and the variance summary
+        # amplifies it by mean^2/var under cancellation.
+        with jax.enable_x64():
+            x = jnp.asarray(np.asarray(x, np.float64))
+            local_rows = np.broadcast_to(
+                np.asarray(x) / ldc, (ldc,) + x.shape)
+            global_arr = jax.make_array_from_process_local_data(
+                sharding, local_rows, (n_dev,) + x.shape)
 
-        f = jax.jit(shard_map(lambda t: jax.lax.psum(t, "hosts"),
-                              mesh=mesh, in_specs=P("hosts"),
-                              out_specs=P()))
-        # the per-device block keeps a leading length-1 shard axis
-        return np.asarray(jax.device_get(f(global_arr)))[0]
+            f = jax.jit(shard_map(lambda t: jax.lax.psum(t, "hosts"),
+                                  mesh=mesh, in_specs=P("hosts"),
+                                  out_specs=P()))
+            # the per-device block keeps a leading length-1 shard axis
+            return np.asarray(jax.device_get(f(global_arr)))[0]
 
     out = dict(stats)
     for k in ("count", "sum", "sumsq"):
-        out[k] = allsum(jnp.asarray(stats[k]))
+        # keep the host f64 — a jnp cast here (x64 off) would truncate
+        # to f32 before the collective ever sees the values
+        out[k] = allsum(np.asarray(stats[k], np.float64))
     return out
 
 
@@ -189,7 +197,11 @@ def generate_dataset_sharded(seed: int, n_systems: int, *, out_dir: str,
     Deterministic across topologies: the global population depends only
     on (seed, n_systems); shard i of p covers a contiguous index range,
     so the union over any p equals the single-process dataset row for
-    row (simulation_id is the GLOBAL index).
+    row (simulation_id is the GLOBAL index).  With
+    ``cfg.analysis_group_quantum > 0`` (the pipeline default) this
+    equality is BITWISE, trajectory metrics included: every analysis
+    dispatch has the same canonical program shape, so XLA's rounding
+    cannot depend on how the population was split across hosts.
     """
     import jax
 

@@ -35,17 +35,24 @@ class TestShardedGeneration:
     def test_union_of_shards_equals_single_process(self, tmp_path):
         one = str(tmp_path / "one")
         two = str(tmp_path / "two")
+        # small canonical dispatch quantum: program shapes (hence f32
+        # rounding) are identical across topologies, so even chaotic
+        # trajectory metrics reproduce bitwise (CPU-sized stand-in for
+        # the pipeline's 1024)
+        from nbodysimproject_tpu.generators.pipeline import _PIPE_CFG
+
+        cfg = _PIPE_CFG.replace(analysis_group_quantum=8)
         df_single, stats_single = generate_dataset_sharded(
             seed=0, n_systems=N_SYSTEMS, out_dir=one, n_steps=N_STEPS,
             process_index=0, process_count=1, reduce_stats=False,
-            show_progress=False)
+            show_progress=False, cfg=cfg)
 
         stats_shards = []
         for i in range(2):
             _df, st = generate_dataset_sharded(
                 seed=0, n_systems=N_SYSTEMS, out_dir=two, n_steps=N_STEPS,
                 process_index=i, process_count=2, reduce_stats=False,
-                show_progress=False)
+                show_progress=False, cfg=cfg)
             stats_shards.append(st)
 
         merged = merge_shards(two)
@@ -55,27 +62,29 @@ class TestShardedGeneration:
 
         num = [c for c in ref.columns
                if pd.api.types.is_numeric_dtype(ref[c])]
-        # ICs and labels are exactly reproducible across topologies
-        ic_cols = [c for c in num if is_pre_integration(c)]
-        np.testing.assert_allclose(merged[ic_cols].to_numpy(np.float64),
-                                   ref[ic_cols].to_numpy(np.float64),
-                                   rtol=1e-6, atol=1e-9, equal_nan=True)
+        # With analysis_group_quantum > 0 every dispatch has the same
+        # program shape regardless of topology, so even chaos-amplified
+        # trajectory metrics reproduce BITWISE (not just approximately:
+        # XLA's fusion/FMA choices depend on shapes, and a 1-ulp IC
+        # difference explodes through a chaotic trajectory)
+        x = merged[num].to_numpy(np.float64)
+        y = ref[num].to_numpy(np.float64)
+        eq = (x == y) | (np.isnan(x) & np.isnan(y))
+        assert eq.all(), (
+            f"columns differ: "
+            f"{[num[c] for c in np.unique(np.nonzero(~eq)[1])]}")
+        assert any(is_pre_integration(c) for c in num)  # schema sanity
         np.testing.assert_array_equal(merged["is_stable"].values,
                                       ref["is_stable"].values)
-        # trajectory metrics agree up to XLA's batch-shape rounding
-        # (chaotic systems amplify 1-ulp differences; bitwise equality
-        # across different batch shapes is not an XLA contract)
-        np.testing.assert_allclose(merged[num].to_numpy(np.float64),
-                                   ref[num].to_numpy(np.float64),
-                                   rtol=5e-3, atol=1e-5, equal_nan=True)
 
-        # host-side moment reduction == single-process statistics
+        # host-side moment reduction == single-process statistics up to
+        # f64 summation order (rows are bitwise identical)
         m = merge_statistics(stats_shards)
         np.testing.assert_allclose(m["count"], stats_single["count"])
         np.testing.assert_allclose(m["sum"], stats_single["sum"],
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(m["sumsq"], stats_single["sumsq"],
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-12, atol=1e-12)
 
 
 def _free_port() -> int:
@@ -129,18 +138,21 @@ class TestTwoProcessRuntime:
         # equal to the single-process statistics
         from nbodysimproject_tpu.generators.pipeline import _PIPE_CFG
 
-        cfg32 = _PIPE_CFG.replace(analysis_n_sub_cap=32, tail_min_n_sub=16)
+        cfg32 = _PIPE_CFG.replace(analysis_n_sub_cap=32, tail_min_n_sub=16,
+                                  analysis_group_quantum=8)
         df_single, st = generate_dataset_sharded(
             seed=0, n_systems=N_SYSTEMS, out_dir=str(tmp_path / "one"),
             n_steps=N_STEPS, process_index=0, process_count=1,
             reduce_stats=False, show_progress=False, cfg=cfg32)
         ref = statistics_summary(st)
         np.testing.assert_allclose(s0["count"], ref["count"])
-        # batch-shape rounding tolerance (see sharded-union test)
-        np.testing.assert_allclose(s0["mean"], ref["mean"], rtol=1e-4,
-                                   atol=1e-6)
-        np.testing.assert_allclose(s0["std"], ref["std"], rtol=1e-4,
-                                   atol=1e-6)
+        # per-row values are bitwise-reproducible (canonical dispatch
+        # quantum) and the psum rides the collective in f64, so the
+        # only slack left is the 2-process reduction order (~1 ulp)
+        np.testing.assert_allclose(s0["mean"], ref["mean"], rtol=1e-9,
+                                   atol=1e-12)
+        np.testing.assert_allclose(s0["std"], ref["std"], rtol=1e-9,
+                                   atol=1e-12)
 
 
 class TestNSubCapPolicy:

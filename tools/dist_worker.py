@@ -35,7 +35,8 @@ def main():
         from nbodysimproject_tpu.generators.pipeline import _PIPE_CFG
 
         cfg = _PIPE_CFG.replace(analysis_n_sub_cap=cap,
-                                tail_min_n_sub=max(8, cap // 2))
+                                tail_min_n_sub=max(8, cap // 2),
+                                analysis_group_quantum=8)
     generate_dataset_sharded(seed=0, n_systems=int(n_systems),
                              out_dir=out_dir, n_steps=int(n_steps),
                              mode="full", show_progress=False, cfg=cfg)
