@@ -94,6 +94,12 @@ class SimConfig:
     # requires fully-valid (unpadded) systems.
     use_pallas_forces: bool = False
     pallas_force_min_n: int = 1024
+    # Evaluate the spring flow's (eps*, grad) through the fused Pallas
+    # kernel (ops/pallas_eps.py) when a vmapped ham_soft scan runs on
+    # an accelerator in float32 — the scan path's dominant HBM cost.
+    # Semantics-parity with the XLA evaluation is kernel-tested; CPU,
+    # float64, and non-vmapped paths always use the XLA evaluation.
+    fused_eps_grad: bool = False
     # Pad body slots up to a multiple of this bucket (masked padding is
     # exactly trajectory-neutral).  Populations with mixed body counts
     # then share one compiled program per bucket instead of one per N.

@@ -26,6 +26,9 @@ float64 without float128 (SURVEY.md section 7, hard part #1).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..core.state import SimState
@@ -78,18 +81,73 @@ def eps_target(state: SimState, dyn, cfg, q=None):
         clamp=policy_is_soft(cfg), mask=state.mask)
 
 
+@functools.lru_cache(maxsize=None)
+def _esg_vmap_fn(eta: float, clamp: bool, use_fallback: bool,
+                 lam_align: float):
+    """(eps*, grad) as a ``custom_vmap`` function: the unbatched body is
+    the XLA evaluation (ops/eps_model.py — unchanged semantics for the
+    facade, CPU, and float64 paths), while a float32 accelerator vmap
+    dispatches the whole batch to the fused VMEM kernel
+    (ops/pallas_eps.py), collapsing the scan path's ~100 (B, N, N)
+    HBM-materialised intermediates per substep into one kernel."""
+
+    def _plain(q, m, h0, alpha, emin, emax, mask):
+        return epsmod.eps_star_and_grad(
+            q, m, h0=h0, alpha=alpha, eps_min=emin, eps_max=emax,
+            eta=eta, clamp=clamp, mask=mask, lam_align=lam_align,
+            use_fallback=use_fallback)
+
+    f = jax.custom_batching.custom_vmap(_plain)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, m, h0, alpha, emin, emax, mask):
+        B = axis_size
+
+        def lift(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (B,) + jnp.shape(x))
+
+        q, m, h0, alpha, emin, emax, mask = (
+            lift(a, b) for a, b in zip(
+                (q, m, h0, alpha, emin, emax, mask), in_batched))
+
+        n = q.shape[1]
+        use_kernel = (q.dtype == jnp.float32 and q.ndim == 3
+                      and n <= 16 and B % 1024 == 0
+                      and jax.default_backend() != "cpu")
+        if use_kernel:
+            from ..ops.pallas_eps import eps_star_and_grad_fused
+
+            es, grad = eps_star_and_grad_fused(
+                q, m, h0, alpha, emin, emax, mask, eta=eta, clamp=clamp,
+                use_fallback=use_fallback, lam_align=lam_align)
+        else:
+            es, grad = jax.vmap(_plain)(q, m, h0, alpha, emin, emax, mask)
+        return (es, grad), (True, True)
+
+    return f
+
+
 def eps_star_and_grad(state: SimState, dyn, cfg, q=None):
     """(eps*, grad) for the spring flow.  NOTE: the reference's
     ``EpsilonModel.eps_star_and_grad`` (hamsoft_eps_model.py:94-234)
     uses the *production* target unconditionally here — fixed/legacy
     modes affect only ``eps_target`` — so we do the same."""
     q = state.pos if q is None else q
+    kwargs = dict(eta=cfg.eta, clamp=policy_is_soft(cfg),
+                  lam_align=cfg.lambda_softening,
+                  use_fallback=(cfg.eps_grad_mode == "reference"))
+    if cfg.fused_eps_grad:
+        fn = _esg_vmap_fn(float(kwargs["eta"]), bool(kwargs["clamp"]),
+                          bool(kwargs["use_fallback"]),
+                          float(kwargs["lam_align"]))
+        return fn(q, state.mass, state.eps, dyn.alpha_run,
+                  dyn.min_softening, dyn.max_softening, state.mask)
     return epsmod.eps_star_and_grad(
         q, state.mass, h0=state.eps, alpha=dyn.alpha_run,
-        eps_min=dyn.min_softening, eps_max=dyn.max_softening, eta=cfg.eta,
-        clamp=policy_is_soft(cfg), mask=state.mask,
-        lam_align=cfg.lambda_softening,
-        use_fallback=(cfg.eps_grad_mode == "reference"))
+        eps_min=dyn.min_softening, eps_max=dyn.max_softening, **kwargs,
+        mask=state.mask)
 
 
 def grad_eps_target(state: SimState, dyn, cfg, q=None):

@@ -44,7 +44,8 @@ _SUB = 8  # VPU sublanes
 def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
                    flo, cap, eps_seed, G: float, k_wall: float, eta: float,
                    jcap: float, bexp: int, policy: str = "soft",
-                   grad_mode: str = "exact", lam_align: float = 0.3):
+                   grad_mode: str = "exact", lam_align: float = 0.3,
+                   clamp_bounds=None):
     """Construct the in-kernel ham_soft physics closures over a set of
     (8, L) VPU blocks.  Shared by the plain multi-step kernel and the
     MEGNO-fused kernel so the two cannot drift apart.
@@ -56,7 +57,12 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
     ``grad_mode``: "exact" — AD gradient of the truncated eps* map;
     "reference" — the bug-compatible fallback: when the exact gradient
     degenerates, substitute the Omega-corrected SPH gradient
-    sign-aligned against the legacy one (ops/eps_model.py:308-358)."""
+    sign-aligned against the legacy one (ops/eps_model.py:308-358).
+    ``clamp_bounds``: optional (a, b) blocks replicating the XLA path's
+    soft-policy value clamp (ops/eps_model.py:233-235): eps* is clipped
+    to [a, b] and the exact gradient is gated to zero where the clip
+    saturates — BEFORE the "reference" degeneracy test, so a saturated
+    lane falls back to the Omega gradient exactly like the XLA path."""
     nd = n * dim
     f32 = jnp.float32
 
@@ -267,6 +273,12 @@ def _build_physics(n: int, dim: int, mass, valid, inv_m, k_s, mu, alpha,
         iters = _solve_iterates(pos, r2)
         es, u = eps_star_of(iters[-1])
         g_q = _exact_grad(pos, r2, iters, u)
+
+        if clamp_bounds is not None:
+            lo_b, hi_b = clamp_bounds
+            gate = (es >= lo_b) & (es <= hi_b)
+            g_q = [jnp.where(gate, g, 0.0) for g in g_q]
+            es = jnp.clip(es, lo_b, hi_b)
 
         if grad_mode == "reference":
             # fallback semantics (eps_star_and_grad,
