@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Decompose the warm per-chunk cost of the fused analysis engine.
+
+The 1M headline run (NB_ANALYSIS_TIMING=1) shows every 1024-wide
+bucket chunk costs ~1.7-1.9 s warm REGARDLESS of n_sub in [1, 48] —
+i.e. the engine is fixed-cost-bound, not integration-bound, below
+n_sub ~ 64.  This tool times analyze_batch_fused variants on one
+synthetic uniform bucket to attribute that fixed cost:
+
+  full      — mode=full, n_steps=1000, megno_steps=1000 (the pipeline)
+  no_megno  — megno_steps=0 (isolates the MEGNO tail kernel)
+  steps100  — n_steps=100 (10 metric samples instead of 100)
+  nsub8     — n_sub=8 (8x the integration trips; tests trip scaling)
+  wide      — width 4096 at n_sub=1 (tests width amortisation)
+
+Run on the TPU: python tools/profile_analysis_chunk.py
+"""
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from nbodysimproject_tpu.analysis.fused import analyze_batch_fused
+    from nbodysimproject_tpu.generators.pipeline import (_PIPE_CFG,
+                                                         diverse_population)
+    from nbodysimproject_tpu.parallel.batch_engine import build_batch
+
+    print(f"[prof] device={jax.devices()[0]}", file=sys.stderr, flush=True)
+    B = 1024
+    mass, pos, vel, mask, soft, _t = diverse_population(
+        jax.random.PRNGKey(0), 4096, n_slots=8)
+    dt = jnp.float32(0.01)
+
+    def bucket(width, n_sub):
+        sl = slice(0, width)
+        states, dyns = build_batch(mass[sl], pos[sl], vel[sl], mask[sl],
+                                   _PIPE_CFG, 1.0,
+                                   np.asarray(soft)[sl], 0.0, 0.01)
+        dyns = dyns.replace(n_sub=jnp.full((width,), n_sub, jnp.int32))
+        keys = jax.random.split(jax.random.PRNGKey(1), width)
+        return states, dyns, keys
+
+    def timed(tag, width, n_sub, n_steps, megno_steps, mode="full"):
+        states, dyns, keys = bucket(width, n_sub)
+        args = (states, dyns, _PIPE_CFG, keys, n_steps, dt, mode,
+                int(n_sub), megno_steps, 128, 1.0)
+        t0 = time.perf_counter()
+        r, _ = analyze_batch_fused(*args)
+        jax.block_until_ready(r["energy_drift"])
+        t_c = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r, _ = analyze_batch_fused(*args)
+            jax.block_until_ready(r["energy_drift"])
+            best = min(best, time.perf_counter() - t0)
+        print(f"[prof] {tag:9s} width={width} n_sub={n_sub} "
+              f"steps={n_steps} megno={megno_steps}: compile {t_c:.1f}s "
+              f"warm {best:.3f}s -> {width / best:.0f} systems/s",
+              file=sys.stderr, flush=True)
+        return best
+
+    t_full = timed("full", B, 1, 1000, 1000)
+    t_nom = timed("no_megno", B, 1, 1000, 0)
+    t_s100 = timed("steps100", B, 1, 100, 1000)
+    t_n8 = timed("nsub8", B, 8, 1000, 1000)
+    t_wide = timed("wide", 4096, 1, 1000, 1000)
+    print(f"[prof] attribution: megno={t_full - t_nom:.3f}s "
+          f"samples~={t_full - t_s100:.3f}s "
+          f"trips(x8)={t_n8 - t_full:.3f}s "
+          f"width4x={t_wide / t_full:.2f}x time "
+          f"({4096 / t_wide:.0f} vs {B / t_full:.0f} systems/s)",
+          file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

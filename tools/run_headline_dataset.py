@@ -227,7 +227,15 @@ def finish(df, CSV, t_an, reused=False):
 
     c_val, y_val_ref, c_te, y_te_ref = _split_cohorts(df)
 
+    #: which trainings to run (the d=3 run skips the leakage-contrast
+    #: "all"-features MLP — that protocol point is made by the 2-D
+    #: headline — and keeps the honest pre-feature models)
+    models = set(os.environ.get("HEADLINE_MODELS",
+                                "mlp_pre,mlp_all,gbdt_pre").split(","))
+
     for group in ("pre", "all"):
+        if f"mlp_{group}" not in models:
+            continue
         log(f"training MLP on '{group}' features...")
         t0 = time.perf_counter()
         trainer = MLPTrainer(CSV, features=group)
@@ -261,6 +269,8 @@ def finish(df, CSV, t_an, reused=False):
                     f"BA={row['balanced_accuracy']:.4f}")
 
     for group in ("pre",):
+        if f"gbdt_{group}" not in models:
+            continue
         log(f"training GBDT on '{group}' features...")
         t0 = time.perf_counter()
         m, extras = train_gbdt(CSV, prefix=MODEL_PREFIX + "gbdt_",
