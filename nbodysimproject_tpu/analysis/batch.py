@@ -92,6 +92,24 @@ def _n_sub_cap(cfg) -> int:
     return cap if cap > 0 else int(cfg.split_n_max)
 
 
+def _fetch_packed(r, n_valid):
+    """device -> host for a dict of (B,) result columns with ONE
+    transfer per dtype instead of one per column: jnp.stack packs the
+    group on device, a single device_get moves it.  Through the axon
+    TPU tunnel a transfer costs ~15 ms regardless of size, so fetching
+    ~90 columns one by one dominated warm analysis throughput."""
+    groups = {}
+    for k, v in r.items():
+        groups.setdefault(jnp.asarray(v).dtype, []).append(k)
+    out = {}
+    for dt_, ks in groups.items():
+        packed = np.asarray(jax.device_get(
+            jnp.stack([jnp.asarray(r[k]) for k in ks])))
+        for i, k in enumerate(ks):
+            out[k] = packed[i, :n_valid]
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _features_batch_jit(states, dyns, cfg):
     from ..diagnostics import features as F
@@ -333,7 +351,16 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         on the fused path its bucket used).  ``run_cfg`` overrides the
         integrator config (the tail fast path's kepler_split mode)."""
         rcfg = cfg if run_cfg is None else run_cfg
-        parts = []
+        # Two-phase dispatch/fetch: dispatch every chunk's program
+        # first (JAX queues them asynchronously, so device work
+        # pipelines), then fetch.  Fetches pack the ~90 result columns
+        # into one stacked array per dtype — measured on the axon
+        # tunnel, per-transfer latency is ~15 ms, so the previous
+        # column-at-a-time device_get cost ~1.5 s per chunk and
+        # dominated warm analysis (the fused engine itself runs a
+        # warm 1024-wide full-mode chunk in ~35 ms;
+        # tools/profile_analysis_chunk.py).
+        pending = []
         for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
             take = lambda t: jax.tree_util.tree_map(
                 lambda x: x[pad_idx], t)
@@ -350,8 +377,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                                          keys[pad_idx], int(n_steps_run),
                                          jnp.asarray(dt, dtype), mode_run,
                                          int(b), megno_run)
-            parts.append({k: np.asarray(jax.device_get(v))[:n_valid]
-                          for k, v in r.items()})
+            pending.append((r, n_valid))
+        parts = [_fetch_packed(r, n_valid) for r, n_valid in pending]
         if len(parts) == 1:
             return parts[0]
         return {k: np.concatenate([p[k] for p in parts])
@@ -435,13 +462,13 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             r = _run_group(idx, n_steps, mode, b, megno_steps,
                            run_cfg=run_cfg)
         if mode == "full":
-            fparts = []
+            fpending = []
             for pad_idx, _bsz, n_valid in _chunks(idx):
                 take = lambda t: jax.tree_util.tree_map(
                     lambda x: x[pad_idx], t)
                 fr = _features_batch_jit(take(states), take(dyns), cfg)
-                fparts.append({k: np.asarray(jax.device_get(v))[:n_valid]
-                               for k, v in fr.items()})
+                fpending.append((fr, n_valid))
+            fparts = [_fetch_packed(fr, nv) for fr, nv in fpending]
             f = fparts[0] if len(fparts) == 1 else {
                 k: np.concatenate([p[k] for p in fparts])
                 for k in fparts[0]}
