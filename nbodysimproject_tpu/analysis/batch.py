@@ -92,6 +92,20 @@ def _n_sub_cap(cfg) -> int:
     return cap if cap > 0 else int(cfg.split_n_max)
 
 
+@jax.jit
+def _take_jit(states, dyns, keys, pad_idx):
+    """Gather one dispatch chunk out of the population in a SINGLE
+    device program.  Done leaf-by-leaf eagerly, the ~27 gather
+    launches cost ~25-40 ms each through the axon tunnel and dominate
+    warm analysis wall clock.  Kept OUTSIDE the engine programs so the
+    analysis computation itself stays byte-identical to the unchunked
+    form (the dispatch-quantum bitwise contract: gather output shapes
+    are quantum-fixed even though the population shape varies with
+    sharding)."""
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx], t)
+    return take(states), take(dyns), keys[pad_idx]
+
+
 def _fetch_packed(r, n_valid):
     """device -> host for a dict of (B,) result columns with ONE
     transfer per dtype instead of one per column: jnp.stack packs the
@@ -362,19 +376,18 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         # tools/profile_analysis_chunk.py).
         pending = []
         for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
-            take = lambda t: jax.tree_util.tree_map(
-                lambda x: x[pad_idx], t)
+            st, dy, ks = _take_jit(states, dyns, keys, pad_idx)
             if (g_uniform and bsz % (8 * _LANES) == 0
                     and fused_path_applicable(rcfg, mode_run, bsz, dtype,
                                               _LANES)):
-                r, _ = analyze_batch_fused(take(states), take(dyns), rcfg,
-                                           keys[pad_idx], int(n_steps_run),
+                r, _ = analyze_batch_fused(st, dy, rcfg, ks,
+                                           int(n_steps_run),
                                            jnp.asarray(dt, dtype), mode_run,
                                            int(b), megno_run, _LANES,
                                            float(g_np.flat[0]))
             else:
-                r, _ = analyze_batch_jit(take(states), take(dyns), rcfg,
-                                         keys[pad_idx], int(n_steps_run),
+                r, _ = analyze_batch_jit(st, dy, rcfg, ks,
+                                         int(n_steps_run),
                                          jnp.asarray(dt, dtype), mode_run,
                                          int(b), megno_run)
             pending.append((r, n_valid))
@@ -464,9 +477,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         if mode == "full":
             fpending = []
             for pad_idx, _bsz, n_valid in _chunks(idx):
-                take = lambda t: jax.tree_util.tree_map(
-                    lambda x: x[pad_idx], t)
-                fr = _features_batch_jit(take(states), take(dyns), cfg)
+                st, dy, _ks = _take_jit(states, dyns, keys, pad_idx)
+                fr = _features_batch_jit(st, dy, cfg)
                 fpending.append((fr, n_valid))
             fparts = [_fetch_packed(fr, nv) for fr, nv in fpending]
             f = fparts[0] if len(fparts) == 1 else {
