@@ -175,6 +175,19 @@ def main():
         print(f"[bench] yoshida4 bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # Early partial emit: the analysis leg below compiles the full
+    # per-bucket program ladder (~40 min on this 1-vCPU host), so if
+    # the harness bounds the bench run, the headline metric still
+    # lands in stdout; the complete line (with analysis + whfast
+    # fields) is printed at the end and supersedes this one.
+    print(json.dumps({
+        "metric": "batched 3-body verlet system-steps/sec/chip (B=%d)"
+                  % B_best,
+        "value": rate, "unit": "system-steps/s",
+        "vs_baseline": rate / 1.0e6, "partial": True,
+    }))
+    sys.stdout.flush()
+
     # ------------- ham_soft macro-step scan (flagship integrator) -----
     # (VERDICT round-1 item 9: bench the flagship workload too; numbers
     # to stderr + data/bench_details.json, headline metric unchanged)
