@@ -342,17 +342,23 @@ def main():
 
         B_AN = int(os.environ.get("BENCH_ANALYSIS_B", 4096))
         AN_STEPS = int(os.environ.get("BENCH_ANALYSIS_STEPS", 1000))
+        # dispatch-quantum override for width experiments (the MEGNO
+        # kernel's per-step slope history is (8 n_steps, B/8) scoped
+        # VMEM -> 2048 lanes is the widest safe quantum at 1000 steps)
+        q_an = int(os.environ.get("BENCH_ANALYSIS_QUANTUM", 0))
+        cfg_an = _PIPE_CFG.replace(analysis_group_quantum=q_an) if q_an \
+            else _PIPE_CFG
         mass_a, pos_a, vel_a, mask_a, soft_a, _types = diverse_population(
             jax.random.PRNGKey(0), B_AN, n_slots=8)
         jax.block_until_ready(mass_a)
         t0 = time.perf_counter()
-        analyze_population(mass_a, pos_a, vel_a, mask_a, _PIPE_CFG, G=1.0,
+        analyze_population(mass_a, pos_a, vel_a, mask_a, cfg_an, G=1.0,
                            softening=np.asarray(soft_a), min_softening=0.0,
                            dt=DT, n_steps=AN_STEPS, mode="full",
                            show_progress=False)
         t_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        df_a = analyze_population(mass_a, pos_a, vel_a, mask_a, _PIPE_CFG,
+        df_a = analyze_population(mass_a, pos_a, vel_a, mask_a, cfg_an,
                                   G=1.0, softening=np.asarray(soft_a),
                                   min_softening=0.0, dt=DT,
                                   n_steps=AN_STEPS, mode="full",
