@@ -243,6 +243,55 @@ def serialize_ic_columns(mass, pos, vel, mask, *, G, softening,
     return out
 
 
+def ic_feature_frame(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
+                     min_softening=0.0, dt=0.01, include_ics=True):
+    """The PRE-INTEGRATION feature frame for a fresh (B, N, d)
+    population WITHOUT running any integration: per-body IC columns +
+    sim metadata (``serialize_ic_columns``), the ``initial_*`` static
+    features, and the frozen-schedule transparency columns (n_sub /
+    n_sub_capped) — byte-identical to the same columns of an
+    ``analyze_population`` frame on the same population (they are all
+    computed before the first step there too; tested).
+
+    This is the fast inference path the product exists for: score new
+    systems with a trained stability classifier (ml/predict.py) at
+    feature-extraction cost instead of integration cost (the
+    reference's >= 1e5x claim, minbody/README.md:56).
+    """
+    import pandas as pd
+
+    from ..integrators import calibration as calib
+    from ..parallel.batch_engine import build_batch
+
+    dtype = jnp.float32 if cfg.fast_float32 else jnp.float64
+    mass = jnp.asarray(mass, dtype)
+    pos = jnp.asarray(pos, dtype)
+    vel = jnp.asarray(vel, dtype)
+    mask = jnp.asarray(mask, bool)
+
+    states, dyns = build_batch(mass, pos, vel, mask, cfg, G, softening,
+                               min_softening, dt)
+    if cfg.integrator_mode == "ham_soft":
+        mu_new = calib.calibrate_mu_from_pi_budget(
+            dyns.mu_soft, dyns.k_soft, jnp.asarray(abs(dt), dtype),
+            jnp.asarray(cfg.theta_imp, dtype))
+        dyns = dyns.replace(mu_soft=mu_new)
+    n_sub_raw = np.asarray(jax.device_get(dyns.n_sub))
+
+    res_np = {}
+    if include_ics:
+        res_np.update(serialize_ic_columns(
+            mass, pos, vel, np.asarray(jax.device_get(mask)), G=G,
+            softening=jax.device_get(softening),
+            min_softening=min_softening, cfg=cfg))
+    feats = _fetch_packed(_features_batch_jit(states, dyns, cfg),
+                          mass.shape[0])
+    res_np.update({f"initial_{k}": v for k, v in feats.items()})
+    res_np["n_sub"] = n_sub_raw.astype(np.int64)
+    res_np["n_sub_capped"] = n_sub_raw > _n_sub_cap(cfg)
+    return pd.DataFrame(res_np)
+
+
 def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                        min_softening=0.0, dt=0.01, n_steps=1000,
                        mode="core", seed=0, show_progress=True,
