@@ -92,6 +92,38 @@ def _n_sub_cap(cfg) -> int:
     return cap if cap > 0 else int(cfg.split_n_max)
 
 
+def _pack_groups(groups, quantum):
+    """Cost-aware bucket packing (round-3 throughput lever).
+
+    Wall time of a group is ~ n_sub_max * ceil(n / quantum) sequential
+    kernel trips: every lane in a dispatch rides all n_sub_max trips
+    (masked-identity beyond its own n_sub), so a small bucket merged
+    into the next larger one is often FREE — the merged dispatch runs
+    the larger bucket's trips anyway — while a separate dispatch pays
+    its own full chunk.  Greedily merge ascending same-tail-flag
+    buckets whenever the trip cost strictly drops.  Lane results are
+    bucket-value independent (masked trips are exact identities on
+    both engines — asserted by test_analysis_ml's packing-parity
+    test), so this changes scheduling only, never rows.
+    """
+    cost = lambda b, n: b * -(-n // quantum)
+    out = []
+    for flag in (False, True):
+        run = [(b, idx) for b, t, idx in groups if t is flag]
+        run.sort(key=lambda g: g[0])
+        packed = []
+        for b, idx in run:
+            if packed:
+                b0, idx0 = packed[-1]
+                if (cost(b, len(idx0) + len(idx))
+                        < cost(b0, len(idx0)) + cost(b, len(idx))):
+                    packed[-1] = (b, np.concatenate([idx0, idx]))
+                    continue
+            packed.append((b, idx))
+        out.extend((int(b), flag, np.sort(idx)) for b, idx in packed)
+    return out
+
+
 @jax.jit
 def _take_jit(states, dyns, keys, pad_idx):
     """Gather one dispatch chunk out of the population in a SINGLE
@@ -468,6 +500,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             gidx = np.nonzero((buckets == b) & (tail_sel == is_tail))[0]
             if len(gidx):
                 groups.append((int(b), is_tail, gidx))
+    if quantum > 0 and getattr(cfg, "analysis_bucket_packing", True):
+        groups = _pack_groups(groups, quantum)
     for b, is_tail, idx in groups:
         _t0 = _time.perf_counter() if _timing else 0.0
         run_cfg = cfg_tail if is_tail else cfg

@@ -156,6 +156,12 @@ class SimConfig:
     # 1024 (= the fused engine's 8x128 block, so small groups ride the
     # fused path too); costs one padded dispatch per partial chunk.
     analysis_group_quantum: int = 0
+    # Cost-aware bucket packing (quantum > 0 paths): merge a small
+    # n_sub bucket into the next larger one when that strictly reduces
+    # total sequential kernel trips (n_sub_max * ceil(n/quantum) per
+    # group).  Scheduling-only: per-lane results are bucket-value
+    # independent (masked trips), parity-tested.
+    analysis_bucket_packing: bool = True
     # Kepler solver depth on the tail fast path: > 0 = fixed-iteration
     # Laguerre-Conway (no cross-lane control flow — the adaptive
     # while_loop's worst-lane gating dominated the tail bucket inside

@@ -9,6 +9,7 @@ import pytest
 import nbodysimproject_tpu as nb
 from nbodysimproject_tpu.analysis import (StabilityAnalyzer,
                                           BatchStabilityAnalyzer)
+from nbodysimproject_tpu.core.config import SimConfig
 from nbodysimproject_tpu.utils import set_global_seed
 
 
@@ -256,3 +257,54 @@ class TestFacadeSchemaParity:
             min_softening=0.0, dt=0.01, n_steps=40, mode="core",
             show_progress=False)
         assert int(dfp.loc[0, "n_sub"]) == int(df.loc[0, "n_sub"])
+
+
+class TestBucketPacking:
+    def test_packing_is_row_invariant(self):
+        from nbodysimproject_tpu.analysis.batch import analyze_population
+
+        """Cost-aware bucket packing is scheduling-only: frames with
+        packing on/off must be bitwise identical (per-lane results are
+        bucket-value independent — masked trips are exact identities),
+        which is also what keeps the sharded-dataset bitwise contract
+        valid when shard-local group sizes change merge decisions."""
+        rng = np.random.default_rng(11)
+        B, n = 24, 4
+        pos = rng.normal(size=(B, n, 2)) * 2.0
+        vel = 0.2 * rng.normal(size=(B, n, 2))
+        mass = np.abs(rng.normal(size=(B, n))) + 0.4
+        mask = np.ones((B, n), bool)
+        kw = dict(G=1.0, softening=0.05, min_softening=0.0, dt=0.01,
+                  n_steps=50, mode="full", show_progress=False)
+        frames = {}
+        for packing in (True, False):
+            cfg = SimConfig(integrator_mode="ham_soft", slot_bucket=8,
+                            analysis_group_quantum=8,
+                            analysis_bucket_packing=packing)
+            frames[packing] = analyze_population(mass, pos, vel, mask,
+                                                 cfg, **kw)
+        a, b = frames[True], frames[False]
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f":
+                np.testing.assert_array_equal(av, bv, err_msg=c)
+            else:
+                assert (av == bv).all(), c
+
+    def test_pack_groups_cost_model(self):
+        from nbodysimproject_tpu.analysis.batch import _pack_groups
+
+        # two small same-tail buckets -> merged into the larger one
+        g = [(1, False, np.arange(5)), (2, False, np.arange(5, 9))]
+        packed = _pack_groups(g, quantum=16)
+        assert len(packed) == 1
+        b, flag, idx = packed[0]
+        assert b == 2 and not flag and len(idx) == 9
+        # a big lower bucket spanning many chunks stays separate
+        g2 = [(1, False, np.arange(64)), (256, False, np.arange(64, 66))]
+        packed2 = _pack_groups(g2, quantum=16)
+        assert len(packed2) == 2
+        # tail flags never merge across
+        g3 = [(1, False, np.arange(4)), (2, True, np.arange(4, 8))]
+        assert len(_pack_groups(g3, quantum=16)) == 2
