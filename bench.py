@@ -175,6 +175,45 @@ def main():
         print(f"[bench] yoshida4 bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ------------- fused yoshida4 multi-step kernel --------------------
+    rate_y4f = None
+    if dtype == jnp.float32 and dev.platform != "cpu":
+        try:
+            from nbodysimproject_tpu.ops.pallas_batch import (
+                yoshida4_multistep_jit)
+
+            B_Y4 = int(os.environ.get("BENCH_BATCH_Y4", 1 << 22))
+            ky1, ky2 = jax.random.split(jax.random.PRNGKey(17))
+            pos_y4 = base_q[None] + 0.01 * jax.random.normal(
+                ky1, (B_Y4, 3, 2), dtype)
+            vel_y4 = base_v[None] + 0.01 * jax.random.normal(
+                ky2, (B_Y4, 3, 2), dtype)
+            mass_y4 = jnp.broadcast_to(base_m, (B_Y4, 3))
+            eps2_y4 = jnp.full((B_Y4,), 1e-6, dtype)
+            jax.block_until_ready((pos_y4, vel_y4))
+
+            def run_y4():
+                return yoshida4_multistep_jit(pos_y4, vel_y4, mass_y4,
+                                              eps2_y4, DT, 1.0, N_STEPS,
+                                              512, 8)
+
+            py4, vy4 = run_y4()
+            np.asarray(py4[0, 0])
+            best_y4 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                py4, vy4 = run_y4()
+                np.asarray(py4[0, 0])
+                best_y4 = min(best_y4, time.perf_counter() - t0)
+            rate_y4f = B_Y4 * N_STEPS / best_y4
+            print(f"[bench] yoshida4 fused (B={B_Y4}): {best_y4:.4f}s "
+                  f"rate={rate_y4f:.3e} sys-steps/s"
+                  + (f" ({rate_y4f / rate_y:.1f}x the XLA scan)"
+                     if rate_y else ""), file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] yoshida4 fused unavailable: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # Early partial emit: the analysis leg below compiles the full
     # per-bucket program ladder (~40 min on this 1-vCPU host), so if
     # the harness bounds the bench run, the headline metric still
@@ -195,6 +234,10 @@ def main():
                "f32_drift_sys0": drift}
     if rate_y is not None:
         details["yoshida4_xla_scan"] = rate_y
+    if rate_y4f is not None:
+        details["yoshida4_fused_steps_per_s"] = rate_y4f
+        if rate_y is not None:
+            details["yoshida4_fused_vs_scan"] = rate_y4f / rate_y
     try:
         hs_steps = max(1, N_STEPS // 10)  # ~10 substeps/step -> same work
         # 2^20 amortises the dispatch latency like the verlet headline
@@ -326,6 +369,45 @@ def main():
         details["whfast_sys_steps_per_s"] = rate_wh
         print(f"[bench] whfast scan: {best_w:.3f}s rate={rate_wh:.3e} "
               f"sys-steps/s (n_sub={nsub_w})", file=sys.stderr)
+
+        # fused multi-step WHFast kernel (ops/pallas_whfast.py): the
+        # in-VMEM Laguerre-Conway Kepler drift + interaction kick
+        if dtype == jnp.float32 and dev.platform != "cpu":
+            from nbodysimproject_tpu.ops.pallas_whfast import (
+                whfast_multistep_jit)
+
+            B_WF = int(os.environ.get("BENCH_BATCH_WF", 1 << 22))
+            kf1, kf2 = jax.random.split(jax.random.PRNGKey(19))
+            pos_wf = q_w[None] + 0.01 * jax.random.normal(
+                kf1, (B_WF, 3, 2), dtype)
+            vel_wf = v_w[None] + 0.01 * jax.random.normal(
+                kf2, (B_WF, 3, 2), dtype)
+            mass_wf = jnp.broadcast_to(
+                jnp.asarray([1.0, 1e-3, 1e-3], dtype), (B_WF, 3))
+            eps2_wf = jnp.full((B_WF,), 1e-6, dtype)
+            jax.block_until_ready((pos_wf, vel_wf))
+            wf_steps = max(1, N_STEPS // 10)
+
+            def run_wf():
+                return whfast_multistep_jit(pos_wf, vel_wf, mass_wf,
+                                            eps2_wf, DT, 1.0, wf_steps,
+                                            8, 256)
+
+            pwf, vwf = run_wf()
+            np.asarray(pwf[0, 0])
+            best_wf = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pwf, vwf = run_wf()
+                np.asarray(pwf[0, 0])
+                best_wf = min(best_wf, time.perf_counter() - t0)
+            rate_wf = B_WF * wf_steps / best_wf
+            details["whfast_fused_steps_per_s"] = rate_wf
+            details["whfast_fused_vs_scan"] = rate_wf / rate_wh
+            print(f"[bench] whfast fused (B={B_WF}): {best_wf:.4f}s "
+                  f"rate={rate_wf:.3e} sys-steps/s "
+                  f"({rate_wf / rate_wh:.2f}x the XLA scan)",
+                  file=sys.stderr)
     except Exception as e:
         print(f"[bench] whfast bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)

@@ -57,6 +57,39 @@ def test_unroll_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v4))
 
 
+def test_yoshida4_matches_xla_scan():
+    """The staged composition kernel reproduces the yoshida4 triple-jump
+    scan (integrators/classical.py) — fused-kick algebra included."""
+    import jax.numpy as jnp
+
+    from nbodysimproject_tpu.ops.pallas_batch import yoshida4_multistep
+    from nbodysimproject_tpu.parallel import integrate_batch
+
+    cfg, (states, dyns) = _batch()
+    cfg = cfg.replace(integrator_mode="yoshida4")
+    ref = integrate_batch(states, dyns, cfg, jnp.float64(0.01), 40, 1)
+    po, vo = yoshida4_multistep(states.pos, states.vel, states.mass,
+                                states.step_s2, h=0.01, G=1.0, n_steps=40,
+                                lanes=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(ref.pos),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(ref.vel),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_yoshida4_momentum_conserved():
+    from nbodysimproject_tpu.ops.pallas_batch import yoshida4_multistep
+
+    cfg, (states, dyns) = _batch(B=8)
+    p0 = np.asarray((states.mass[..., None] * states.vel).sum(axis=1))
+    po, vo = yoshida4_multistep(states.pos, states.vel, states.mass,
+                                states.step_s2, h=0.01, G=1.0, n_steps=100,
+                                lanes=1, interpret=True)
+    m = np.asarray(states.mass)
+    p1 = (m[..., None] * np.asarray(vo)).sum(axis=1)
+    assert np.abs(p1 - p0).max() < 1e-12
+
+
 def test_momentum_conserved():
     from nbodysimproject_tpu.ops.pallas_batch import verlet_multistep
 
