@@ -163,6 +163,20 @@ def _features_batch_jit(states, dyns, cfg):
     return jax.vmap(lambda s, d: F.extract_all(s, d, cfg))(states, dyns)
 
 
+#: host-scheduling-only knobs, pinned to fixed values on the cfg that
+#: becomes a jit static argument: they never reach device code, but as
+#: static-arg fields every toggle (packing on/off, quantum-width or
+#: early-exit experiments) would otherwise recompile the whole
+#: per-bucket program ladder (~100 s per program on a 1-vCPU host)
+_SCHED_ONLY = dict(analysis_group_quantum=0, analysis_bucket_packing=True,
+                   early_exit_probe=0.0, early_exit_min_n_sub=8)
+
+
+def _engine_cfg(cfg):
+    """cfg as handed to the jitted engines: scheduling knobs stripped."""
+    return cfg.replace(**_SCHED_ONLY)
+
+
 @jax.jit
 def _pair_dominance_jit(states, dyns):
     """(tau_min^2, tau_second^2) per system for the tail-fast-path
@@ -301,7 +315,8 @@ def ic_feature_frame(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     vel = jnp.asarray(vel, dtype)
     mask = jnp.asarray(mask, bool)
 
-    states, dyns = build_batch(mass, pos, vel, mask, cfg, G, softening,
+    jcfg = _engine_cfg(cfg)
+    states, dyns = build_batch(mass, pos, vel, mask, jcfg, G, softening,
                                min_softening, dt)
     if cfg.integrator_mode == "ham_soft":
         mu_new = calib.calibrate_mu_from_pi_budget(
@@ -316,7 +331,7 @@ def ic_feature_frame(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             mass, pos, vel, np.asarray(jax.device_get(mask)), G=G,
             softening=jax.device_get(softening),
             min_softening=min_softening, cfg=cfg))
-    feats = _fetch_packed(_features_batch_jit(states, dyns, cfg),
+    feats = _fetch_packed(_features_batch_jit(states, dyns, jcfg),
                           mass.shape[0])
     res_np.update({f"initial_{k}": v for k, v in feats.items()})
     res_np["n_sub"] = n_sub_raw.astype(np.int64)
@@ -356,7 +371,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     if show_progress:
         print(f"Analyzing {B} systems (batched)...")
 
-    states, dyns = build_batch(mass, pos, vel, mask, cfg, G, softening,
+    jcfg = _engine_cfg(cfg)
+    states, dyns = build_batch(mass, pos, vel, mask, jcfg, G, softening,
                                min_softening, dt)
     if cfg.integrator_mode == "ham_soft":
         mu_new = calib.calibrate_mu_from_pi_budget(
@@ -392,10 +408,10 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     # (integrators/kepler_split.py; VERDICT round-2 item 1)
     tail_sel, n_tail = _tail_selection(states, dyns, cfg, n_sub_raw, dt)
     n_sub_eff = np.where(tail_sel, n_tail, n_subs)
-    cfg_tail = cfg
+    cfg_tail = jcfg
     if tail_sel.any():
         dyns = dyns.replace(n_sub=jnp.asarray(n_sub_eff, jnp.int32))
-        cfg_tail = cfg.replace(integrator_mode="kepler_split")
+        cfg_tail = jcfg.replace(integrator_mode="kepler_split")
     buckets = _bucket_ladder_values(n_sub_eff)
     res_rows = {}
     feats_rows = {}
@@ -445,7 +461,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         engine runs (``min_bsz`` lets a shrunken survivor group stay
         on the fused path its bucket used).  ``run_cfg`` overrides the
         integrator config (the tail fast path's kepler_split mode)."""
-        rcfg = cfg if run_cfg is None else run_cfg
+        rcfg = jcfg if run_cfg is None else run_cfg
         # Two-phase dispatch/fetch: dispatch every chunk's program
         # first (JAX queues them asynchronously, so device work
         # pipelines), then fetch.  Fetches pack the ~90 result columns
@@ -516,7 +532,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             bucket_bsz = _chunks(idx)[0][1]
             bucket_fused = (g_uniform
                             and bucket_bsz % (8 * _LANES) == 0
-                            and fused_path_applicable(cfg, mode,
+                            and fused_path_applicable(jcfg, mode,
                                                       bucket_bsz, dtype,
                                                       _LANES))
             rp = _run_group(idx, n_probe, "core", b, 0)
@@ -561,7 +577,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             fpending = []
             for pad_idx, _bsz, n_valid in _chunks(idx):
                 st, dy, _ks = _take_jit(states, dyns, keys, pad_idx)
-                fr = _features_batch_jit(st, dy, cfg)
+                fr = _features_batch_jit(st, dy, jcfg)
                 fpending.append((fr, n_valid))
             fparts = [_fetch_packed(fr, nv) for fr, nv in fpending]
             f = fparts[0] if len(fparts) == 1 else {
