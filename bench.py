@@ -391,7 +391,7 @@ def main():
             def run_wf():
                 return whfast_multistep_jit(pos_wf, vel_wf, mass_wf,
                                             eps2_wf, DT, 1.0, wf_steps,
-                                            8, 256)
+                                            8, 512)
 
             pwf, vwf = run_wf()
             np.asarray(pwf[0, 0])
