@@ -454,13 +454,22 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         return out
 
     def _run_group(idx, n_steps_run, mode_run, b, megno_run, min_bsz=1,
-                   run_cfg=None):
+                   run_cfg=None, want_features=False):
         """Analyze the systems at ``idx``; returns unpadded column
         dict.  Lanes are independent on both engines, so results per
         system do not depend on the padded batch size — only on WHICH
         engine runs (``min_bsz`` lets a shrunken survivor group stay
         on the fused path its bucket used).  ``run_cfg`` overrides the
-        integrator config (the tail fast path's kepler_split mode)."""
+        integrator config (the tail fast path's kepler_split mode).
+
+        ``want_features``: also evaluate the static initial-feature
+        pass on each chunk and merge its columns in under an
+        ``initial_`` prefix.  Sharing the chunk's gather and the
+        packed fetch with the metric results saves ~60 ms/chunk of
+        tunnel overhead vs a separate feature loop (the per-bucket
+        warm attribution in ROADMAP item 3); the feature program
+        itself is the same ``_features_batch_jit`` either way, so
+        column values are unchanged."""
         rcfg = jcfg if run_cfg is None else run_cfg
         # Two-phase dispatch/fetch: dispatch every chunk's program
         # first (JAX queues them asynchronously, so device work
@@ -487,6 +496,10 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                                          int(n_steps_run),
                                          jnp.asarray(dt, dtype), mode_run,
                                          int(b), megno_run)
+            if want_features:
+                fr = _features_batch_jit(st, dy, jcfg)
+                r = dict(r)
+                r.update({f"initial_{k}": v for k, v in fr.items()})
             pending.append((r, n_valid))
         parts = [_fetch_packed(r, n_valid) for r, n_valid in pending]
         if len(parts) == 1:
@@ -570,10 +583,16 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                                 if np.issubdtype(v.dtype, np.floating) \
                                 else np.zeros(len(idx), v.dtype)
                         r[k][smask] = v
+        merged_feats = False
         if r is None:
+            merged_feats = mode == "full"
             r = _run_group(idx, n_steps, mode, b, megno_steps,
-                           run_cfg=run_cfg)
-        if mode == "full":
+                           run_cfg=run_cfg, want_features=merged_feats)
+        if mode == "full" and not merged_feats:
+            # early-exit path only: metric rows were assembled from
+            # probe + survivor runs, but the static initial features
+            # must cover every row (aborted ones included), so they
+            # keep their own gather/dispatch/fetch loop here
             fpending = []
             for pad_idx, _bsz, n_valid in _chunks(idx):
                 st, dy, _ks = _take_jit(states, dyns, keys, pad_idx)
@@ -584,8 +603,9 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                 k: np.concatenate([p[k] for p in fparts])
                 for k in fparts[0]}
         for k, v in r.items():
-            res_rows.setdefault(k, np.zeros(B, v.dtype))[idx] = v
-        if mode == "full":
+            target = feats_rows if k.startswith("initial_") else res_rows
+            target.setdefault(k, np.zeros(B, v.dtype))[idx] = v
+        if mode == "full" and not merged_feats:
             for k, v in f.items():
                 feats_rows.setdefault(f"initial_{k}",
                                       np.zeros(B, v.dtype))[idx] = v

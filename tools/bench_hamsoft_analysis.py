@@ -16,8 +16,9 @@ import numpy as np
 def main():
     B = int(os.environ.get("HS_BATCH", 16384))
     n_steps = int(os.environ.get("HS_STEPS", 1000))
-    print(f"[hs-bench] device={jax.devices()[0]} B={B} steps={n_steps}",
-          file=sys.stderr, flush=True)
+    dim = int(os.environ.get("HS_DIM", 2))
+    print(f"[hs-bench] device={jax.devices()[0]} B={B} steps={n_steps} "
+          f"dim={dim}", file=sys.stderr, flush=True)
 
     from nbodysimproject_tpu.generators.pipeline import (diverse_population,
                                                          _PIPE_CFG)
@@ -25,7 +26,7 @@ def main():
 
     t0 = time.perf_counter()
     mass, pos, vel, mask, soft, types = diverse_population(
-        jax.random.PRNGKey(0), B, n_slots=8)
+        jax.random.PRNGKey(0), B, n_slots=8, dim=dim)
     jax.block_until_ready(mass)
     t_gen = time.perf_counter() - t0
     print(f"[hs-bench] generation: {t_gen:.2f}s", file=sys.stderr, flush=True)
