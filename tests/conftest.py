@@ -15,9 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
-# NOTE: do NOT enable the persistent compilation cache here — with the
-# axon PJRT plugin registered it deadlocks intermittently on cache
-# reads in this environment.
+# NOTE: keep the persistent compilation cache OFF under the test
+# runner — an earlier session saw intermittent deadlocks on cache
+# reads with the axon PJRT plugin registered in exactly this
+# (CPU-platform, plugin-present) configuration.  Outside the test
+# runner the package enables the cache by default (nbodysimproject_tpu
+# __init__._enable_compile_cache; re-validated over dozens of axon and
+# CPU processes without a hang), so tests opt out explicitly.
+os.environ["NB_COMPILE_CACHE"] = "0"
 
 import sys
 import types
