@@ -480,22 +480,34 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         # dominated warm analysis (the fused engine itself runs a
         # warm 1024-wide full-mode chunk in ~35 ms;
         # tools/profile_analysis_chunk.py).
+        from ..utils.aot_cache import aot_call
+
         pending = []
         for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
             st, dy, ks = _take_jit(states, dyns, keys, pad_idx)
+            # Engine programs go through the jax.export AOT cache:
+            # the per-(bucket, engine) ladder costs ~50-75 s of
+            # host-side tracing per program in a fresh process, which
+            # the persistent XLA compile cache cannot skip; exported
+            # StableHLO reloads in milliseconds and its compile hits
+            # the compile cache byte-exactly (utils/aot_cache.py).
             if (g_uniform and bsz % (8 * _LANES) == 0
                     and fused_path_applicable(rcfg, mode_run, bsz, dtype,
                                               _LANES)):
-                r, _ = analyze_batch_fused(st, dy, rcfg, ks,
-                                           int(n_steps_run),
-                                           jnp.asarray(dt, dtype), mode_run,
-                                           int(b), megno_run, _LANES,
-                                           float(g_np.flat[0]))
+                r = aot_call(
+                    "an_fused", analyze_batch_fused, (st, dy),
+                    dict(keys=ks, dt=jnp.asarray(dt, dtype)),
+                    dict(cfg=rcfg, n_steps=int(n_steps_run), mode=mode_run,
+                         n_sub_max=int(b), megno_steps=megno_run,
+                         lanes=_LANES, g_static=float(g_np.flat[0])),
+                    out_select=lambda o: o[0])
             else:
-                r, _ = analyze_batch_jit(st, dy, rcfg, ks,
-                                         int(n_steps_run),
-                                         jnp.asarray(dt, dtype), mode_run,
-                                         int(b), megno_run)
+                r = aot_call(
+                    "an_scan", analyze_batch_jit, (st, dy),
+                    dict(keys=ks, dt=jnp.asarray(dt, dtype)),
+                    dict(cfg=rcfg, n_steps=int(n_steps_run), mode=mode_run,
+                         n_sub_max=int(b), megno_steps=megno_run),
+                    out_select=lambda o: o[0])
             if want_features:
                 fr = _features_batch_jit(st, dy, jcfg)
                 r = dict(r)

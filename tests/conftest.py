@@ -23,6 +23,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 # __init__._enable_compile_cache; re-validated over dozens of axon and
 # CPU processes without a hang), so tests opt out explicitly.
 os.environ["NB_COMPILE_CACHE"] = "0"
+# ... and the jax.export AOT program cache: tests must not write
+# artifacts into the repo cache dir nor depend on cross-test reloads
+# (test_aot_cache re-enables it against a tmp dir explicitly).
+os.environ.setdefault("NB_AOT_CACHE", "0")
 
 import sys
 import types
