@@ -61,6 +61,8 @@ def main():
     d1 = jax.tree_util.tree_map(lambda x: x[0], dy)
     h = jnp.asarray(0.01, dtype)
 
+    results = {"N": N_PL, "iters": ITERS, "loop": LOOP}
+
     def timed(tag, fn, *args):
         jfn = jax.jit(fn)
         out = jfn(*args)
@@ -73,6 +75,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         per = best / LOOP * 1e6
         log(f"{tag:8s} {best:.3f}s for {LOOP} iters -> {per:.0f} us/iter")
+        results[f"{tag}_us_per_iter"] = per
         return best
 
     def loop(body):
@@ -95,6 +98,28 @@ def main():
     timed("force", loop(lambda s: s.replace(vel=s.vel + h * force_auto(
         s.pos, s.mass, jnp.sqrt(s.step_s2), d1.G, s.mask, cfg)
         / s.mass[:, None])), s1)
+
+    # MEASURED (round 3, N=4096, v5e): step 503 us, force 452 us (90%),
+    # kick 451, drift 273, jacobi 362 — the separately-jitted arms
+    # overlap inside the fused substep (drift+kick > step), and the
+    # direct O(N^2) force IS the step.  Roofline: ~16.7M ordered pairs
+    # x ~28 VPU ops/pair ~= 4.7e8 ops ~= 490 us at the v5e VPU rate —
+    # the tiled Pallas force kernel runs at the elementwise hardware
+    # ceiling, so the next many-planet lever is algorithmic
+    # (hierarchical/P3M forces trade symplectic exactness) not kernel
+    # tuning.  This retires ROADMAP round-4 item 5's hypothesis that
+    # the per-planet Jacobi Kepler chain was the remaining depth.
+    import json
+
+    out_path = os.environ.get("PW_OUT",
+                              os.path.join("data", "profile_whfast.json"))
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        log(f"wrote {out_path}")
+    except OSError as e:
+        log(f"could not write {out_path}: {e}")
 
 
 if __name__ == "__main__":
