@@ -422,7 +422,10 @@ def main():
             diverse_population, _PIPE_CFG)
         from nbodysimproject_tpu.analysis.batch import analyze_population
 
-        B_AN = int(os.environ.get("BENCH_ANALYSIS_B", 4096))
+        # 16384 is the README headline scale: enough chunks (16) to
+        # amortise the capped-n_sub tail bucket the way production
+        # mixtures do; override with BENCH_ANALYSIS_B for quick runs
+        B_AN = int(os.environ.get("BENCH_ANALYSIS_B", 16384))
         AN_STEPS = int(os.environ.get("BENCH_ANALYSIS_STEPS", 1000))
         # dispatch-quantum override for width experiments (the MEGNO
         # kernel's per-step slope history is (8 n_steps, B/8) scoped
