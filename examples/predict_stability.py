@@ -21,7 +21,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 import numpy as np
@@ -38,7 +39,9 @@ def main(n_systems: int = 4096):
         jax.random.PRNGKey(2026), n_systems, n_slots=8)
     jax.block_until_ready(mass)
 
-    pred = StabilityPredictor(prefix="data/headline_pre_", model="gbdt")
+    # repo-anchored artifact prefix: the example works from any CWD
+    pred = StabilityPredictor(
+        prefix=os.path.join(REPO, "data", "headline_pre_"), model="gbdt")
 
     t0 = time.time()
     prob, is_stable = pred.predict_population(

@@ -163,6 +163,89 @@ def _features_batch_jit(states, dyns, cfg):
     return jax.vmap(lambda s, d: F.extract_all(s, d, cfg))(states, dyns)
 
 
+@partial(jax.jit, static_argnames=("cfg", "feat_cfg", "n_steps", "mode",
+                                   "n_sub_max", "megno_steps", "engine",
+                                   "lanes", "g_static", "with_features"))
+def _analysis_program(states, dyns, keys, dt, *, cfg, feat_cfg, n_steps,
+                      mode, n_sub_max, megno_steps, engine, lanes,
+                      g_static, with_features):
+    """ONE device program per analysis chunk: the metric engine
+    (fused kernel or XLA scan), the static initial-feature pass
+    (``with_features``, full mode), all in a single dispatch.  The
+    round-3 path launched three programs per chunk (gather + engine +
+    features) and fetched twice; through the axon tunnel each launch
+    costs ~10-15 ms of host latency, the dominant share of a warm
+    1024-lane chunk (VERDICT round-3 next-round item 1).
+
+    Feature columns are computed with ``feat_cfg`` (the caller's
+    engine-stripped cfg) regardless of the integrator ``cfg`` — tail
+    fast-path chunks run a kepler_split integrator but their
+    ``initial_*`` columns must match the rest of the frame."""
+    from ..diagnostics import features as F
+
+    if engine == "fused":
+        from .fused import analyze_batch_fused
+
+        r, _ = analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt,
+                                   mode, n_sub_max, megno_steps, lanes,
+                                   g_static)
+    else:
+        r, _ = analyze_batch_jit(states, dyns, cfg, keys, n_steps, dt,
+                                 mode, n_sub_max, megno_steps)
+    if with_features:
+        fr = jax.vmap(lambda s, d: F.extract_all(s, d, feat_cfg))(states,
+                                                                  dyns)
+        r = dict(r)
+        r.update({f"initial_{k}": v for k, v in fr.items()})
+    return r
+
+
+def _pack_result(r):
+    """Device-side column packing, applied INSIDE the exported program
+    (aot_call's out_select runs under the trace): the ~90-110 (B,)
+    result columns stack into one array per dtype, so a chunk costs
+    one transfer per dtype instead of one per column (~15 ms each
+    through the tunnel).  Column names ride the pytree STRUCTURE as
+    '|'-joined dict keys — free to read host-side, nothing extra to
+    serialize."""
+    groups = {}
+    for k in sorted(r):
+        groups.setdefault(jnp.result_type(r[k]).name, []).append(k)
+    return {"|".join(ks): jnp.stack([jnp.asarray(r[k]) for k in ks])
+            for ks in groups.values()}
+
+
+def _drain_packed(pending):
+    """Fetch a list of dispatched chunks: ``pending`` holds
+    (packed_device_dict, valid_idx) pairs.  Chunks sharing a packed
+    column set are concatenated ON DEVICE first, so the whole drain
+    costs one transfer per (column-set, dtype) — at the 16k headline
+    scale that is 1-2 transfers for all 16 chunks instead of 32+.
+    Returns one unpacked host column dict per chunk (trimmed to its
+    valid width)."""
+    out = [dict() for _ in pending]
+    bykey = {}
+    for ci, (pk, _part) in enumerate(pending):
+        for names, arr in pk.items():
+            bykey.setdefault(names, []).append((ci, arr))
+    for names, items in bykey.items():
+        cols = names.split("|")
+        arrs = [a for _, a in items]
+        if len(arrs) == 1:
+            splits = [np.asarray(jax.device_get(arrs[0]))]
+        else:
+            packed = np.asarray(jax.device_get(
+                jnp.concatenate(arrs, axis=1)))
+            offs = np.cumsum([0] + [a.shape[1] for a in arrs])
+            splits = [packed[:, offs[i]:offs[i + 1]]
+                      for i in range(len(arrs))]
+        for (ci, _), sp in zip(items, splits):
+            n_valid = len(pending[ci][1])
+            for i, c in enumerate(cols):
+                out[ci][c] = sp[i, :n_valid]
+    return out
+
+
 #: host-scheduling-only knobs, pinned to fixed values on the cfg that
 #: becomes a jit static argument: they never reach device code, but as
 #: static-arg fields every toggle (packing on/off, quantum-width or
@@ -453,67 +536,71 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             out.append((pad, quantum, len(part)))
         return out
 
+    fused_misses = []
+
+    def _engine_for(rcfg, mode_run, bsz):
+        """'fused' | 'scan' for one chunk, recording gate misses for
+        the observability log (VERDICT round-3 hygiene item: small /
+        odd-shaped groups silently fell off the fused engine)."""
+        fused = (g_uniform and bsz % (8 * _LANES) == 0
+                 and fused_path_applicable(rcfg, mode_run, bsz, dtype,
+                                           _LANES))
+        if (not fused and getattr(rcfg, "use_fused_analysis", False)
+                and jax.devices()[0].platform != "cpu"):
+            why = []
+            if not g_uniform:
+                why.append("non-uniform G")
+            if bsz % (8 * _LANES) != 0:
+                why.append(f"chunk width {bsz} % {8 * _LANES} != 0")
+            if not fused_path_applicable(rcfg, mode_run, bsz, dtype,
+                                         _LANES):
+                why.append("cfg/platform gate")
+            fused_misses.append((bsz, "; ".join(why)))
+        return "fused" if fused else "scan"
+
+    def _dispatch_chunk(pad_idx, bsz, n_steps_run, mode_run, b, megno_run,
+                        rcfg, want_features):
+        """Gather one chunk and launch its single analysis program
+        (metrics + merged features + device-side column packing all in
+        one exported module; see ``_analysis_program``).  Returns the
+        packed device dict — nothing is fetched here."""
+        from ..utils.aot_cache import aot_call
+
+        st, dy, ks = _take_jit(states, dyns, keys, pad_idx)
+        # Engine programs go through the jax.export AOT cache: the
+        # per-(bucket, engine) ladder costs ~50-75 s of host-side
+        # tracing per program in a fresh process, which the persistent
+        # XLA compile cache cannot skip; exported StableHLO reloads in
+        # milliseconds and its compile hits the compile cache
+        # byte-exactly (utils/aot_cache.py).
+        return aot_call(
+            "an_prog", _analysis_program, (st, dy),
+            dict(keys=ks, dt=jnp.asarray(dt, dtype)),
+            dict(cfg=rcfg, feat_cfg=jcfg, n_steps=int(n_steps_run),
+                 mode=mode_run, n_sub_max=int(b), megno_steps=megno_run,
+                 engine=_engine_for(rcfg, mode_run, bsz), lanes=_LANES,
+                 g_static=float(g_np.flat[0]),
+                 with_features=bool(want_features)),
+            out_select=_pack_result)
+
     def _run_group(idx, n_steps_run, mode_run, b, megno_run, min_bsz=1,
                    run_cfg=None, want_features=False):
         """Analyze the systems at ``idx``; returns unpadded column
-        dict.  Lanes are independent on both engines, so results per
-        system do not depend on the padded batch size — only on WHICH
-        engine runs (``min_bsz`` lets a shrunken survivor group stay
-        on the fused path its bucket used).  ``run_cfg`` overrides the
-        integrator config (the tail fast path's kepler_split mode).
-
-        ``want_features``: also evaluate the static initial-feature
-        pass on each chunk and merge its columns in under an
-        ``initial_`` prefix.  Sharing the chunk's gather and the
-        packed fetch with the metric results saves ~60 ms/chunk of
-        tunnel overhead vs a separate feature loop (the per-bucket
-        warm attribution in ROADMAP item 3); the feature program
-        itself is the same ``_features_batch_jit`` either way, so
-        column values are unchanged."""
+        dict (fetched).  Lanes are independent on both engines, so
+        results per system do not depend on the padded batch size —
+        only on WHICH engine runs (``min_bsz`` lets a shrunken
+        survivor group stay on the fused path its bucket used).
+        ``run_cfg`` overrides the integrator config (the tail fast
+        path's kepler_split mode).  Used by the early-exit probe path,
+        which must fetch before deciding; the default path pipelines
+        dispatch across ALL groups instead (see the group loop)."""
         rcfg = jcfg if run_cfg is None else run_cfg
-        # Two-phase dispatch/fetch: dispatch every chunk's program
-        # first (JAX queues them asynchronously, so device work
-        # pipelines), then fetch.  Fetches pack the ~90 result columns
-        # into one stacked array per dtype — measured on the axon
-        # tunnel, per-transfer latency is ~15 ms, so the previous
-        # column-at-a-time device_get cost ~1.5 s per chunk and
-        # dominated warm analysis (the fused engine itself runs a
-        # warm 1024-wide full-mode chunk in ~35 ms;
-        # tools/profile_analysis_chunk.py).
-        from ..utils.aot_cache import aot_call
-
         pending = []
         for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
-            st, dy, ks = _take_jit(states, dyns, keys, pad_idx)
-            # Engine programs go through the jax.export AOT cache:
-            # the per-(bucket, engine) ladder costs ~50-75 s of
-            # host-side tracing per program in a fresh process, which
-            # the persistent XLA compile cache cannot skip; exported
-            # StableHLO reloads in milliseconds and its compile hits
-            # the compile cache byte-exactly (utils/aot_cache.py).
-            if (g_uniform and bsz % (8 * _LANES) == 0
-                    and fused_path_applicable(rcfg, mode_run, bsz, dtype,
-                                              _LANES)):
-                r = aot_call(
-                    "an_fused", analyze_batch_fused, (st, dy),
-                    dict(keys=ks, dt=jnp.asarray(dt, dtype)),
-                    dict(cfg=rcfg, n_steps=int(n_steps_run), mode=mode_run,
-                         n_sub_max=int(b), megno_steps=megno_run,
-                         lanes=_LANES, g_static=float(g_np.flat[0])),
-                    out_select=lambda o: o[0])
-            else:
-                r = aot_call(
-                    "an_scan", analyze_batch_jit, (st, dy),
-                    dict(keys=ks, dt=jnp.asarray(dt, dtype)),
-                    dict(cfg=rcfg, n_steps=int(n_steps_run), mode=mode_run,
-                         n_sub_max=int(b), megno_steps=megno_run),
-                    out_select=lambda o: o[0])
-            if want_features:
-                fr = _features_batch_jit(st, dy, jcfg)
-                r = dict(r)
-                r.update({f"initial_{k}": v for k, v in fr.items()})
-            pending.append((r, n_valid))
-        parts = [_fetch_packed(r, n_valid) for r, n_valid in pending]
+            pk = _dispatch_chunk(pad_idx, bsz, n_steps_run, mode_run, b,
+                                 megno_run, rcfg, want_features)
+            pending.append((pk, pad_idx[:n_valid]))
+        parts = [p for p in _drain_packed(pending)]
         if len(parts) == 1:
             return parts[0]
         return {k: np.concatenate([p[k] for p in parts])
@@ -543,10 +630,24 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                 groups.append((int(b), is_tail, gidx))
     if quantum > 0 and getattr(cfg, "analysis_bucket_packing", True):
         groups = _pack_groups(groups, quantum)
+
+    def _scatter(r, part):
+        for k, v in r.items():
+            target = feats_rows if k.startswith("initial_") else res_rows
+            target.setdefault(k, np.zeros(B, v.dtype))[part] = v
+
+    # Pipelined dispatch: launch EVERY group's chunks first (gather +
+    # one analysis program each, all asynchronous), then drain with one
+    # packed transfer for all chunks.  The round-3 loop fetched each
+    # group before dispatching the next, so ~10 group boundaries each
+    # stalled the host on the tunnel's transfer latency (VERDICT
+    # round-3 item 1's "overlap chunk k+1's gather with chunk k's
+    # fetch" — generalised to full-population lookahead; chunk outputs
+    # are ~0.5 MB each, so device residency is trivial).
+    pending = []  # (packed_device_dict, valid_idx)
     for b, is_tail, idx in groups:
         _t0 = _time.perf_counter() if _timing else 0.0
-        run_cfg = cfg_tail if is_tail else cfg
-        r = None
+        run_cfg = cfg_tail if is_tail else jcfg
         # the probe only applies to metric-producing modes: a
         # "minimal" run returns too few columns for the merge to be
         # consistent.  Tail-fast-path buckets skip it — they are cheap
@@ -570,7 +671,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                         rp[k] = np.where(bad, np.nan, rp[k]).astype(
                             rp[k].dtype)
                 surv = idx[~bad]
-                r = {k: np.array(v) for k, v in rp.items()}  # writable copies
+                r = {k: np.array(v) for k, v in rp.items()}  # writable
                 if mode == "full":
                     # the probe ran in core mode, so the full-mode-only
                     # chaos columns are absent from rp; pre-create them
@@ -595,37 +696,53 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                                 if np.issubdtype(v.dtype, np.floating) \
                                 else np.zeros(len(idx), v.dtype)
                         r[k][smask] = v
-        merged_feats = False
-        if r is None:
-            merged_feats = mode == "full"
-            r = _run_group(idx, n_steps, mode, b, megno_steps,
-                           run_cfg=run_cfg, want_features=merged_feats)
-        if mode == "full" and not merged_feats:
-            # early-exit path only: metric rows were assembled from
-            # probe + survivor runs, but the static initial features
-            # must cover every row (aborted ones included), so they
-            # keep their own gather/dispatch/fetch loop here
-            fpending = []
-            for pad_idx, _bsz, n_valid in _chunks(idx):
-                st, dy, _ks = _take_jit(states, dyns, keys, pad_idx)
-                fr = _features_batch_jit(st, dy, jcfg)
-                fpending.append((fr, n_valid))
-            fparts = [_fetch_packed(fr, nv) for fr, nv in fpending]
-            f = fparts[0] if len(fparts) == 1 else {
-                k: np.concatenate([p[k] for p in fparts])
-                for k in fparts[0]}
-        for k, v in r.items():
-            target = feats_rows if k.startswith("initial_") else res_rows
-            target.setdefault(k, np.zeros(B, v.dtype))[idx] = v
-        if mode == "full" and not merged_feats:
-            for k, v in f.items():
-                feats_rows.setdefault(f"initial_{k}",
-                                      np.zeros(B, v.dtype))[idx] = v
+                _scatter(r, idx)
+                if mode == "full":
+                    # metric rows were assembled from probe + survivor
+                    # runs, but the static initial features must cover
+                    # every row (aborted ones included)
+                    fpending = []
+                    for pad_idx, _bsz, n_valid in _chunks(idx):
+                        st, dy, _ks = _take_jit(states, dyns, keys,
+                                                pad_idx)
+                        fr = _features_batch_jit(st, dy, jcfg)
+                        fpending.append((fr, n_valid))
+                    fparts = [_fetch_packed(fr, nv) for fr, nv in fpending]
+                    f = fparts[0] if len(fparts) == 1 else {
+                        k: np.concatenate([p[k] for p in fparts])
+                        for k in fparts[0]}
+                    _scatter({f"initial_{k}": v for k, v in f.items()},
+                             idx)
+                if _timing:
+                    print(f"[analysis-timing] bucket n_sub={b} "
+                          f"tail={is_tail} n={len(idx)} probe "
+                          f"{_time.perf_counter() - _t0:.3f}s", flush=True)
+                continue
+            # probe found nothing: fall through to the pipelined path
+            # for the full-horizon run (probe columns are recomputed —
+            # survivors restart from scratch by contract)
+        for pad_idx, bsz, n_valid in _chunks(idx):
+            pk = _dispatch_chunk(pad_idx, bsz, n_steps, mode, b,
+                                 megno_steps, run_cfg, mode == "full")
+            pending.append((pk, pad_idx[:n_valid]))
         if _timing:
             print(f"[analysis-timing] bucket n_sub={b} tail={is_tail} "
                   f"n={len(idx)} pad={_chunks(idx)[0][1]} "
-                  f"chunks={len(_chunks(idx))} "
+                  f"chunks={len(_chunks(idx))} dispatch "
                   f"{_time.perf_counter() - _t0:.3f}s", flush=True)
+    _t0 = _time.perf_counter() if _timing else 0.0
+    for (pk, part), r in zip(pending, _drain_packed(pending)):
+        _scatter(r, part)
+    if _timing and pending:
+        print(f"[analysis-timing] drain {len(pending)} chunks "
+              f"{_time.perf_counter() - _t0:.3f}s", flush=True)
+    if fused_misses and show_progress:
+        from collections import Counter
+
+        tally = Counter(why for _bsz, why in fused_misses)
+        for why, cnt in tally.items():
+            print(f"[analysis] {cnt} chunk(s) ran the scan engine "
+                  f"instead of the fused kernel: {why}")
 
     res_np = {}
     if include_ics:

@@ -92,46 +92,91 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
 
     H0 = jax.vmap(lambda s, d: E.extended_hamiltonian(s, d, cfg))(states,
                                                                   dyns)
-    L0 = jax.vmap(E.angular_momentum_z)(states)
+    # d = 2: scalar L_z statistics (reference semantics); d = 3: vector
+    # angular momentum with magnitude drift, matching
+    # ``analysis.stability.analyze_system`` (the round-3 fused path fed
+    # the z component into step_metrics' vector branch — degenerate
+    # cos_theta and a z-only ang_mom_drift in the 3-D datasets; fixed
+    # and regenerated in round 4)
+    d = states.pos.shape[-1]
+    if d == 2:
+        L0 = jax.vmap(E.angular_momentum_z)(states)
+    else:
+        L0 = jax.vmap(E.angular_momentum_vector)(states)
 
     sample_interval = max(1, n_steps // 100)
     n_samples = -(-n_steps // sample_interval)  # matches i % k == 0 count
     tail = n_steps - 1 - (n_samples - 1) * sample_interval
 
-    z = jnp.zeros((B,), dtype)
-    acc0 = (z, z, z, jnp.full((B,), -jnp.inf, dtype),
-            jnp.full((B,), jnp.inf, dtype))
-    accs = {k: acc0 for k in ("com_drift", "J_eps", "theta_eps",
-                              "cos_theta", "var_L", "tr_hessian")}
+    if getattr(cfg, "use_fused_metrics", False):
+        # ---- one kernel call for the whole sampled horizon ----------
+        # (ops/pallas_hamsoft.py::hamsoft_analysis_multistep): the
+        # metric running moments accumulate in-register; J_eps and
+        # theta_eps derive from the sampled (eps, pi) rows here with
+        # the scan path's exact formulas (metrics.py:69-72)
+        from ..ops.pallas_hamsoft import hamsoft_analysis_multistep
 
-    def sample(quad, accs):
-        st = _states_with(states, quad)
-        met = jax.vmap(lambda s1, d1, l0: step_metrics(s1, d1, cfg, L0=l0))(
-            st, dyns, L0)
-        upd = lambda acc, x: jax.vmap(_running_update)(acc, x)
-        return {k: upd(accs[k], met[k]) for k in accs}
+        po, vo, eo, pio, accs, eps_s, pi_s = hamsoft_analysis_multistep(
+            states.pos, states.vel, states.mass, states.eps, states.pi,
+            L0, k_soft=dyns.k_soft, mu=dyns.mu_soft, alpha=dyns.alpha_run,
+            eps_min=dyns.min_softening, eps_max=dyns.max_softening, h=h,
+            n_sub=n_sub, n_steps=n_steps, n_sub_max=n_sub_max,
+            interval=sample_interval, G=g_static,
+            k_wall=float(cfg.k_wall), eta=float(cfg.eta),
+            jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
+            lanes=lanes, policy=policy, grad_mode=grad_mode,
+            lam_align=float(cfg.lambda_softening))
+        quad = (po, vo, eo, pio)
+        cnt = accs["com_drift"][0]
+        mu_b = dyns.mu_soft[None, :].astype(dtype)
+        j_s = eps_s * pi_s / jnp.where(mu_b != 0.0, mu_b, 1.0)
+        ok = (mu_b * eps_s != 0.0) | (pi_s != 0.0)
+        th_s = jnp.where(ok, jnp.arctan2(pi_s, mu_b * eps_s), jnp.nan)
+        moments = lambda x: (cnt, jnp.sum(x, 0), jnp.sum(x * x, 0),
+                             jnp.max(x, 0), jnp.min(x, 0))
+        accs["J_eps"] = moments(j_s)
+        accs["theta_eps"] = moments(th_s)
+    else:
+        z = jnp.zeros((B,), dtype)
+        acc0 = (z, z, z, jnp.full((B,), -jnp.inf, dtype),
+                jnp.full((B,), jnp.inf, dtype))
+        accs = {k: acc0 for k in ("com_drift", "J_eps", "theta_eps",
+                                  "cos_theta", "var_L", "tr_hessian")}
 
-    # chunk 0: one step, then sample
-    quad = run_kernel(_quad_of(states), 1)
-    accs = sample(quad, accs)
+        def sample(quad, accs):
+            st = _states_with(states, quad)
+            met = jax.vmap(
+                lambda s1, d1, l0: step_metrics(s1, d1, cfg, L0=l0))(
+                st, dyns, L0)
+            upd = lambda acc, x: jax.vmap(_running_update)(acc, x)
+            return {k: upd(accs[k], met[k]) for k in accs}
 
-    if n_samples > 1:
-        def body(carry, _):
-            quad, accs = carry
-            quad = run_kernel(quad, sample_interval)
-            accs = sample(quad, accs)
-            return (quad, accs), None
+        # chunk 0: one step, then sample
+        quad = run_kernel(_quad_of(states), 1)
+        accs = sample(quad, accs)
 
-        (quad, accs), _ = jax.lax.scan(body, (quad, accs), None,
-                                       length=n_samples - 1)
-    if tail > 0:
-        quad = run_kernel(quad, tail)
+        if n_samples > 1:
+            def body(carry, _):
+                quad, accs = carry
+                quad = run_kernel(quad, sample_interval)
+                accs = sample(quad, accs)
+                return (quad, accs), None
+
+            (quad, accs), _ = jax.lax.scan(body, (quad, accs), None,
+                                           length=n_samples - 1)
+        if tail > 0:
+            quad = run_kernel(quad, tail)
 
     st1 = _states_with(states, quad)
     H1 = jax.vmap(lambda s, d: E.extended_hamiltonian(s, d, cfg))(st1, dyns)
-    L1 = jax.vmap(E.angular_momentum_z)(st1)
     energy_drift = jax.vmap(_rel_drift)(H1, H0)
-    ang_mom_drift = jax.vmap(_rel_drift)(L1, L0)
+    if d == 2:
+        L1 = jax.vmap(E.angular_momentum_z)(st1)
+        ang_mom_drift = jax.vmap(_rel_drift)(L1, L0)
+    else:
+        L1 = jax.vmap(E.angular_momentum_vector)(st1)
+        norm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=-1))
+        ang_mom_drift = jax.vmap(_rel_drift)(norm(L1), norm(L0))
 
     if mode == "full" and megno_steps > 0 and cfg.use_fused_megno:
         # MEGNO tail fused in VMEM (ops/pallas_hamsoft.py), keeping the

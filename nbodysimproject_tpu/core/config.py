@@ -178,6 +178,14 @@ class SimConfig:
     # MEGNO continuation inside the fused analysis: kernel (True) vs
     # vmapped XLA megno_scan (False).  Only read on the fused path.
     use_fused_megno: bool = True
+    # Metric sampling inside the fused analysis: True = one kernel call
+    # per horizon with the running moments accumulated in-register
+    # (ops/pallas_hamsoft.py::hamsoft_analysis_multistep); False = the
+    # round-3 form (~100 alternations of multistep kernel + XLA
+    # step_metrics, whose per-call launch overhead dominated low-n_sub
+    # chunks).  Only read on the fused path; sampled values agree to
+    # f32 reduction-order noise (parity-tested).
+    use_fused_metrics: bool = True
     # Large-N force engine for verlet-mode rollouts through the facade
     # and `integrators.largen.largen_rollout`:
     #  "direct"        — the few-body dense-einsum / pallas-tiled path

@@ -501,11 +501,23 @@ class NBodySimulation:
         self._top_dt = abs(dt)
         n_sub = self._n_sub_for(dt)
 
+        record = self._adaptive_softening and self._integrator_mode != "ham_soft"
+        if record:
+            old_s = float(self._state.s)
+            old_sed = self.softening_energy_delta
         self._state = _jit_macro_step(self._state, self._dyn, self.cfg,
                                       self._as_dtype(dt), n_sub)
         self._has_integrated = True
         self._last_dt = dt
         self.softening_energy_delta = float(self._state.softening_energy_delta)
+        if record:
+            new_s = float(self._state.s)
+            dE = self.softening_energy_delta - old_sed
+            if dE != 0.0 or new_s != old_s:
+                # per-step ledger entry for the jitted adaptive-refresh
+                # path (validate_energy's replay side; the OO
+                # refresh_softening path appends its own entries)
+                self._ledger_append(old_s, new_s, dE)
 
     def run(self, dt: float, n_steps: int) -> None:
         """TPU-native extension: n_steps macro steps fused in one jitted
@@ -518,11 +530,20 @@ class NBodySimulation:
         dt = float(dt)
         self._top_dt = abs(dt)
         n_sub = self._n_sub_for(dt)
+        record = self._adaptive_softening and self._integrator_mode != "ham_soft"
+        if record:
+            old_s = float(self._state.s)
+            old_sed = self.softening_energy_delta
         self._state = _jit_integrate(self._state, self._dyn, self.cfg,
                                      self._as_dtype(dt), int(n_steps), n_sub)
         self._has_integrated = True
         self._last_dt = dt
         self.softening_energy_delta = float(self._state.softening_energy_delta)
+        if record:
+            # the fused scan exposes no per-step deltas; one aggregated
+            # ledger entry keeps the replay decomposition exact
+            self._ledger_append(old_s, float(self._state.s),
+                                self.softening_energy_delta - old_sed)
 
     def _largen_run(self, dt: float, n_steps: int) -> None:
         """Fused large-N rollout (integrators/largen.py): the whole
@@ -788,6 +809,26 @@ class NBodySimulation:
     def __deepcopy__(self, memo=None):
         return self.copy(deep=True)
 
+    #: bounded per-refresh delta ring depth (validate_energy replay)
+    _LEDGER_DEPTH = 512
+
+    def _ledger_append(self, e_old: float, e_new: float, dE: float) -> None:
+        """Record one softening-refresh energy delta in the bounded
+        replay ring (the reference's ``_history`` deque analogue;
+        entries evicted past the depth fold their delta into ``base``
+        so the replayed total stays exact)."""
+        led = getattr(self, "_eps_ledger", None)
+        if led is None:
+            # anchored to the PRE-entry accumulated delta, so a restored
+            # snapshot (which carries the delta but not the ring) stays
+            # consistent: base + sum(ring) == ledger from here on
+            led = {"base": float(self.softening_energy_delta) - float(dE),
+                   "entries": []}
+            self._eps_ledger = led
+        led["entries"].append((float(e_old), float(e_new), float(dE)))
+        while len(led["entries"]) > self._LEDGER_DEPTH:
+            led["base"] += led["entries"].pop(0)[2]
+
     def debug_adaptive_softening(self) -> dict:
         return {
             "current_s2": float(self._state.step_s2),
@@ -862,7 +903,7 @@ class _ManagerShim:
         return dict(
             softening=self.s,
             step_s2=self.step_s2,
-            history=[],
+            history=self.history,
             history_mean=mean,
             history_std=var ** 0.5,
             history_count=cnt,
@@ -893,23 +934,42 @@ class _ManagerShim:
         if s._integrator_mode == "ham_soft":
             self.update_continuous(eps_new)
             return
+        e_old = float(s._state.s)
         dE = float(_energy_correction(s._state, s._dyn, s.cfg,
                                       s._state.s, s._as_dtype(eps_new)))
         if math.isfinite(dE):
             s.softening_energy_delta += dE
             s._state = s._state.replace(
                 softening_energy_delta=s._as_dtype(s.softening_energy_delta))
+            s._ledger_append(e_old, float(eps_new), dE)
         self.update_continuous(eps_new)
 
     def validate_energy(self) -> None:
-        """Ledger self-check (softening_manager.py:376-389).  The
-        history deque is replaced by running moments in this design, so
-        the replay-based check degrades to verifying the accumulated
-        delta is finite; exactness of per-refresh deltas is covered by
-        test_adaptive_softening_parity instead."""
-        ref = self._sim.softening_energy_delta
+        """Ledger self-check (softening_manager.py:376-389): replay the
+        recorded per-refresh deltas (bounded ring + evicted-entry base,
+        accumulated in the same order as the incremental ledger) and
+        compare against the accumulated ``softening_energy_delta`` —
+        a corrupted ledger, or a refresh path that bypassed the
+        bookkeeping, trips the warning (asserted by the corruption test
+        in tests/test_aux_subsystems.py).  Tolerance: the reference's
+        1e-10 in float64; the jitted f32 fast path accumulates the
+        state-side ledger in float32, so its replay agrees only to f32
+        rounding (~1e-5 relative over hundreds of refreshes)."""
+        s = self._sim
+        ref = s.softening_energy_delta
         if not math.isfinite(ref):
             print(f"[warning] energy mismatch: softening ledger is {ref}")
+            return
+        led = getattr(s, "_eps_ledger", None)
+        if led is None or len(led["entries"]) < 2:
+            return  # reference parity: needs >= 2 history points
+        total = led["base"]
+        for _e_old, _e_new, dE in led["entries"]:
+            total += dE
+        err = abs(total - ref) if ref == 0.0 else abs((total - ref) / ref)
+        tol = 1e-5 if s.cfg.fast_float32 else 1e-10
+        if err > tol:
+            print(f"[warning] energy mismatch: {err:.3g}")
 
     def update_base_softening(self, adaptive: bool) -> None:
         """softening_manager.py:392-407."""
@@ -923,10 +983,16 @@ class _ManagerShim:
             hist_count=s._as_dtype(1.0), hist_sum=s0, hist_sumsq=s0 * s0)
         s.softening_energy_delta = 0.0
         s._max_softening = 10.0 * s._s0
+        s._eps_ledger = {"base": 0.0, "entries": []}
 
     @property
     def history(self):
-        return []
+        """Recent eps values reconstructed from the refresh ring (the
+        reference's bounded ``_history`` deque, softening_manager.py)."""
+        led = getattr(self._sim, "_eps_ledger", None)
+        if not led or not led["entries"]:
+            return []
+        return [led["entries"][0][0]] + [e[1] for e in led["entries"]]
 
 
 class _IntegratorShim:

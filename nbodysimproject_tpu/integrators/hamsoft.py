@@ -177,7 +177,13 @@ def _fold(cfg, dyn, eps, pi):
 
 
 def _row_max_norm(x, mask=None):
-    r = jnp.sqrt(jnp.sum(x * x, axis=1))
+    r2 = jnp.sum(x * x, axis=1)
+    # derivative-safe |x|: sqrt at exactly 0 has an undefined AD
+    # derivative (NaN through reverse mode — hit whenever the eps*
+    # gradient degenerates to 0, e.g. a saturated SPH solve); take the
+    # subgradient 0 there with the primal value unchanged
+    pos = r2 > 0.0
+    r = jnp.where(pos, jnp.sqrt(jnp.where(pos, r2, 1.0)), 0.0)
     if mask is not None:
         r = jnp.where(mask, r, 0.0)
     return jnp.max(r) if r.shape[0] else jnp.zeros((), x.dtype)

@@ -51,6 +51,11 @@ class StabilityPredictor:
         self.feature_names = meta["feature_names"]
         self.threshold = float(meta.get("optimal_threshold", 0.5))
         self.cohort_thresholds = dict(meta.get("cohort_thresholds", {}))
+        #: schema v2 (round 4): per-cohort isotonic calibration curves +
+        #: one cost-curve-chosen operating point on the CALIBRATED
+        #: probability (ml/calibrate.py) — supersedes the raw per-cohort
+        #: thresholds when present
+        self.calibration = meta.get("calibration")
         self.model_kind = model
         if model == "gbdt":
             gp = prefix + "gbdt_"
@@ -65,6 +70,8 @@ class StabilityPredictor:
                     gmeta.get("cohort_thresholds", self.cohort_thresholds))
                 self.threshold = float(self.cohort_thresholds.get(
                     "__global__", self.threshold))
+                self.calibration = gmeta.get("calibration",
+                                             self.calibration)
         elif model == "mlp":
             from .train_mlp import MLPTrainer
 
@@ -74,25 +81,40 @@ class StabilityPredictor:
         else:
             raise ValueError(f"unknown model kind: {model}")
 
-    def predict_frame(self, df, cohorts=None):
+    def predict_frame(self, df, cohorts=None, return_raw=False):
         """(prob, is_stable) for a pre-integration feature frame.
 
-        ``cohorts``: optional per-row cohort names — rows whose cohort
-        has a shipped calibrated threshold use it, others the global
-        Youden threshold (the round-2 VERDICT item-2 operating-point
-        semantics)."""
+        When the model ships a ``calibration`` block (schema v2), the
+        returned probability is the COHORT-CALIBRATED P(stable | x)
+        (pooled curve when the cohort is unknown / uncurved) and the
+        verdict applies the single shipped operating point — the
+        calibrated policy that dominates the round-3 raw per-cohort
+        thresholds on both overall BA and close-encounter precision.
+        Legacy metadata falls back to the per-cohort raw-threshold
+        semantics.  ``return_raw=True`` additionally returns the
+        uncalibrated model score."""
         X = feature_matrix(df, self.feature_names)
         Xs = self._scaler.transform(X) if self._scaler is not None else X
         if self.model_kind == "gbdt":
-            prob = self._model.predict_proba(Xs)[:, 1]
+            raw = self._model.predict_proba(Xs)[:, 1]
         else:
-            prob = np.asarray(self._trainer.predict_proba(Xs)).ravel()
-        thr = np.full(len(prob), self.threshold)
-        if cohorts is not None and self.cohort_thresholds:
-            thr = np.asarray([
-                float(self.cohort_thresholds.get(str(c), self.threshold))
-                for c in cohorts])
-        return prob, prob > thr
+            raw = np.asarray(self._trainer.predict_proba(Xs)).ravel()
+        if self.calibration:
+            from .calibrate import calibrated_probability
+
+            prob = calibrated_probability(raw, cohorts, self.calibration)
+            thr = float(self.calibration.get("global_threshold",
+                                             self.threshold))
+            out = (prob, prob > thr)
+        else:
+            thr = np.full(len(raw), self.threshold)
+            if cohorts is not None and self.cohort_thresholds:
+                thr = np.asarray([
+                    float(self.cohort_thresholds.get(str(c),
+                                                     self.threshold))
+                    for c in cohorts])
+            out = (raw, raw > thr)
+        return out + (raw,) if return_raw else out
 
     def predict_population(self, mass, pos, vel, mask, cfg, *, G=1.0,
                            softening=0.05, min_softening=0.0, dt=0.01,

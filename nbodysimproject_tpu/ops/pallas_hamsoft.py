@@ -555,6 +555,218 @@ def _hamsoft_multistep_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
     out_pi_ref[...] = out[2 * nd + 1]
 
 
+#: metric order of the analysis kernel's accumulator block (the four
+#: metrics whose sampled values are reduced in-register; J_eps and
+#: theta_eps are derived in XLA from the sampled (eps, pi) rows so the
+#: arctan2 never has to lower through Mosaic)
+_ACC_METRICS = ("com_drift", "cos_theta", "var_L", "tr_hessian")
+
+
+def _hamsoft_analysis_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
+                             k_ref, mu_ref, alpha_ref, flo_ref, cap_ref,
+                             h_ref, nsub_ref, l0_ref,
+                             out_pos_ref, out_vel_ref, out_eps_ref,
+                             out_pi_ref, out_acc_ref, out_es_ref,
+                             out_ps_ref, *, n: int, dim: int, n_steps: int,
+                             n_sub_max: int, interval: int, G: float,
+                             k_wall: float, eta: float, jcap: float,
+                             bexp: int, policy: str, grad_mode: str,
+                             lam_align: float):
+    """Multi-step kernel with the analysis metric sampling fused in.
+
+    Replaces ``analysis/fused.py``'s ~100 alternations between the
+    multistep kernel and an XLA ``step_metrics`` pass — each
+    ``pallas_call`` inside the sampling scan costs ~0.3 ms of launch +
+    HBM round-trip, which dominated low-``n_sub`` analysis chunks
+    (engine 34 ms of which the integration itself is ~2 ms;
+    tools/profile_analysis_chunk.py).  One kernel call now advances the
+    whole horizon, accumulating the sampled step metrics
+    (diagnostics/metrics.py:56-123 semantics) in-register:
+
+    * metric sample after macro step i when ``i % interval == 0`` —
+      exactly the scan path's predicate (analysis/stability.py:113);
+    * com_drift / cos_theta / var_L / tr_hessian reduce into
+      (count, sum, sumsq, max, min) running moments
+      (stability.py::_running_update);
+    * the (eps, pi) pair at each sample is stored to per-sample output
+      rows instead (J_eps and theta_eps need ``arctan2``, which is
+      computed in XLA afterwards from these rows — bit-identical
+      formulas to the scan path on kernel-exact sampled values).  The
+      row store uses the frozen-carry idiom: the carried sample value
+      only changes on a sample event, and every trip rewrites the
+      current sample row, so the last write holds the event value (the
+      MEGNO kernel's ``ys`` trick generalised to interval sampling).
+
+    ``l0_ref``: the initial angular momentum per lane — 1 block (L_z)
+    for d = 2, 3 blocks (the L vector) for d = 3 — matching the
+    ``step_metrics`` branch semantics for cos_theta.
+    """
+    nd = n * dim
+    f32 = jnp.float32
+    pos, vel, mass, valid, inv_m, scal = _read_common(
+        pos_ref, vel_ref, mass_ref, eps_ref, pi_ref, k_ref, mu_ref,
+        alpha_ref, flo_ref, cap_ref, h_ref, nsub_ref, n, dim)
+    eps, pi, k_s, mu, alpha, flo, cap, h, nsub = scal
+    dL = 1 if dim == 2 else 3
+    L0 = [l0_ref[a * _SUB:(a + 1) * _SUB, :] for a in range(dL)]
+
+    ops = _build_physics(n, dim, mass, valid, inv_m, k_s, mu, alpha, flo,
+                         cap, eps, G, k_wall, eta, jcap, bexp,
+                         policy=policy, grad_mode=grad_mode,
+                         lam_align=lam_align)
+    es0, grad0 = ops.eps_star_and_grad(pos)
+
+    mval = [jnp.where(v, mm, 0.0) for mm, v in zip(mass, valid)]
+    nb = jnp.zeros_like(eps)
+    for v in valid:
+        nb = nb + jnp.where(v, 1.0, 0.0)
+    nb = jnp.maximum(nb, 1.0)
+    Gf = np.float32(G)
+    dimf = np.float32(dim)
+
+    def metrics_of(pos, vel, eps):
+        """The four in-register step metrics (metrics.py:56-123)."""
+        # --- com_drift = |sum_i m_i q_i| -------------------------------
+        com2 = jnp.zeros_like(eps)
+        for a in range(dim):
+            s = jnp.zeros_like(eps)
+            for i in range(n):
+                s = s + mval[i] * pos[i * dim + a]
+            com2 = com2 + s * s
+        com_drift = jnp.sqrt(com2)
+
+        # --- angular momentum statistics --------------------------------
+        if dim == 2:
+            L_i = [mval[i] * (pos[i * dim] * vel[i * dim + 1]
+                              - pos[i * dim + 1] * vel[i * dim])
+                   for i in range(n)]
+            L_tot = L_i[0]
+            for x in L_i[1:]:
+                L_tot = L_tot + x
+            L_mean = L_tot / nb
+            var_L = jnp.zeros_like(eps)
+            for i in range(n):
+                d0 = L_i[i] - L_mean
+                var_L = var_L + jnp.where(valid[i], d0 * d0, 0.0)
+            var_L = var_L / nb
+            cos_ok = (L0[0] != 0.0) & (L_tot != 0.0)
+            cos_theta = jnp.where(
+                cos_ok, (L_tot * L0[0])
+                / (jnp.abs(L_tot) * jnp.abs(L0[0])), jnp.nan)
+        else:
+            # per-body L_i = m q x v; totals + |L_i| variance + tilt
+            Lv = [jnp.zeros_like(eps) for _ in range(3)]
+            l2_i = []
+            for i in range(n):
+                qx, qy, qz = (pos[i * dim], pos[i * dim + 1],
+                              pos[i * dim + 2])
+                vx, vy, vz = (vel[i * dim], vel[i * dim + 1],
+                              vel[i * dim + 2])
+                cx = mval[i] * (qy * vz - qz * vy)
+                cy = mval[i] * (qz * vx - qx * vz)
+                cz = mval[i] * (qx * vy - qy * vx)
+                Lv[0] = Lv[0] + cx
+                Lv[1] = Lv[1] + cy
+                Lv[2] = Lv[2] + cz
+                l2_i.append(cx * cx + cy * cy + cz * cz)
+            L_tot = jnp.sqrt(Lv[0] * Lv[0] + Lv[1] * Lv[1] + Lv[2] * Lv[2])
+            l_mean = jnp.zeros_like(eps)
+            l_i = [jnp.sqrt(x) for x in l2_i]
+            for i in range(n):
+                l_mean = l_mean + jnp.where(valid[i], l_i[i], 0.0)
+            l_mean = l_mean / nb
+            var_L = jnp.zeros_like(eps)
+            for i in range(n):
+                d0 = l_i[i] - l_mean
+                var_L = var_L + jnp.where(valid[i], d0 * d0, 0.0)
+            var_L = var_L / nb
+            L0n = jnp.sqrt(L0[0] * L0[0] + L0[1] * L0[1] + L0[2] * L0[2])
+            dot = Lv[0] * L0[0] + Lv[1] * L0[1] + Lv[2] * L0[2]
+            cos_ok = (L0n != 0.0) & (L_tot != 0.0)
+            cos_theta = jnp.where(
+                cos_ok, dot / jnp.maximum(L_tot * L0n, 1e-300), jnp.nan)
+
+        # --- tidal trace (metrics.py:25-53, ham_soft eps) ---------------
+        eps2 = eps * eps
+        tr = jnp.zeros_like(eps)
+        for i in range(n):
+            for j in range(i + 1, n):
+                r2 = jnp.zeros_like(eps)
+                for a in range(dim):
+                    dx = pos[i * dim + a] - pos[j * dim + a]
+                    r2 = r2 + dx * dx
+                s = r2 + eps2
+                num = dimf * s - 3.0 * r2
+                ssafe = jnp.maximum(s, 0.0)
+                den = ssafe * ssafe * jnp.sqrt(ssafe)
+                pairm = jnp.where(valid[i] & valid[j],
+                                  mass[i] * mass[j], 0.0)
+                tr = tr + pairm * num / den
+        tr_hessian = Gf * 2.0 * tr  # i != j double-counts the i < j sum
+
+        return (com_drift, cos_theta, var_L, tr_hessian)
+
+    zero = jnp.zeros_like(eps)
+    ninf = jnp.full_like(eps, -jnp.inf)
+    pinf = jnp.full_like(eps, jnp.inf)
+    # carry layout after the integrator's 2nd+3+nd blocks:
+    #   count, then per metric (sum, sumsq, max, min), then the frozen
+    #   (eps, pi) sample pair
+    acc0 = (zero,) + (zero, zero, ninf, pinf) * len(_ACC_METRICS) \
+        + (eps, pi)
+
+    def body(t, carry):
+        pos = list(carry[:nd])
+        vel = list(carry[nd:2 * nd])
+        eps, pi, es = carry[2 * nd:2 * nd + 3]
+        grad = list(carry[2 * nd + 3:3 * nd + 3])
+        acc = list(carry[3 * nd + 3:])
+
+        sub_idx = jnp.remainder(t, np.int32(n_sub_max))
+        step_i = t // np.int32(n_sub_max)
+        active = sub_idx.astype(f32) < nsub
+        pos, vel, eps, pi, es, grad = ops.strang_trip(
+            pos, vel, eps, pi, es, grad, h, active)
+
+        # ---- predicated metric sampling -------------------------------
+        last = sub_idx == np.int32(n_sub_max - 1)
+        on_point = jnp.remainder(step_i, np.int32(interval)) == 0
+        samp = last & on_point
+        mets = metrics_of(pos, vel, eps)
+        cnt = acc[0] + jnp.where(samp, 1.0, 0.0)
+        new = [cnt]
+        for k, x in enumerate(mets):
+            s, s2, mx, mn = acc[1 + 4 * k:5 + 4 * k]
+            new.append(s + jnp.where(samp, x, 0.0))
+            new.append(s2 + jnp.where(samp, x * x, 0.0))
+            new.append(jnp.where(samp, jnp.maximum(mx, x), mx))
+            new.append(jnp.where(samp, jnp.minimum(mn, x), mn))
+        eps_s = jnp.where(samp, eps, acc[-2])
+        pi_s = jnp.where(samp, pi, acc[-1])
+        new.extend([eps_s, pi_s])
+        # frozen-carry row store: idempotent rewrites of the current
+        # sample row; the event-trip value lands last
+        samp_row = step_i // np.int32(interval)
+        out_es_ref[pl.ds(samp_row * _SUB, _SUB), :] = eps_s
+        out_ps_ref[pl.ds(samp_row * _SUB, _SUB), :] = pi_s
+
+        return tuple(pos) + tuple(vel) + (eps, pi, es) + tuple(grad) \
+            + tuple(new)
+
+    carry0 = tuple(pos) + tuple(vel) + (eps, pi, es0) + tuple(grad0) + acc0
+    out = jax.lax.fori_loop(np.int32(0),
+                            np.int32(n_steps * n_sub_max), body, carry0)
+
+    for k in range(nd):
+        out_pos_ref[k * _SUB:(k + 1) * _SUB, :] = out[k]
+        out_vel_ref[k * _SUB:(k + 1) * _SUB, :] = out[nd + k]
+    out_eps_ref[...] = out[2 * nd]
+    out_pi_ref[...] = out[2 * nd + 1]
+    n_acc = 1 + 4 * len(_ACC_METRICS)
+    for k in range(n_acc):
+        out_acc_ref[k * _SUB:(k + 1) * _SUB, :] = out[3 * nd + 3 + k]
+
+
 def _hamsoft_megno_kernel(pos_ref, vel_ref, mass_ref, eps_ref, pi_ref,
                           k_ref, mu_ref, alpha_ref, flo_ref, cap_ref,
                           h_ref, nsub_ref, dt_ref, dr_ref, dv_ref,
@@ -729,6 +941,98 @@ def hamsoft_multistep(pos, vel, mass, eps, pi, *, k_soft, mu, alpha,
 
         return (unfold(out_pos), unfold(out_vel),
                 out_eps.reshape(B), out_pi.reshape(B))
+
+    if interpret:
+        return run()
+    from jax._src.config import enable_x64 as _x64_scope
+
+    with _x64_scope(False):
+        return run()
+
+
+def hamsoft_analysis_multistep(pos, vel, mass, eps, pi, L0, *, k_soft, mu,
+                               alpha, eps_min, eps_max, h, n_sub,
+                               n_steps: int, n_sub_max: int, interval: int,
+                               G: float = 1.0, k_wall: float = 1e9,
+                               eta: float = 1.35, jcap: float = 0.02,
+                               bexp: int = 5, lanes: int = 128,
+                               interpret: bool = False,
+                               policy: str = "soft",
+                               grad_mode: str = "exact",
+                               lam_align: float = 0.3):
+    """Advance a (B, N, d) float32 ham_soft batch ``n_steps`` macro
+    steps with the analysis metric sampling fused in (one kernel call
+    for the whole horizon; see ``_hamsoft_analysis_kernel``).
+
+    ``L0``: (B,) initial L_z for d = 2, (B, 3) initial L vector for
+    d = 3.  Returns (pos, vel, eps, pi, accs, eps_samples, pi_samples)
+    where ``accs`` maps each of ``_ACC_METRICS`` to a
+    (count, sum, sumsq, max, min) tuple of (B,) arrays and the sample
+    arrays are (n_samples, B) with n_samples = ceil(n_steps/interval).
+    """
+    B, n, dim = pos.shape
+    nd = n * dim
+    f32 = jnp.float32
+    dL = 1 if dim == 2 else 3
+    n_samples = -(-n_steps // interval)
+
+    def run():
+        pos_c = jnp.concatenate(
+            [_fold(pos[:, i, a]) for i in range(n) for a in range(dim)], 0)
+        vel_c = jnp.concatenate(
+            [_fold(vel[:, i, a]) for i in range(n) for a in range(dim)], 0)
+        mass_c = jnp.concatenate([_fold(mass[:, i]) for i in range(n)], 0)
+        scalars = [jnp.asarray(x, f32) * jnp.ones((B,), f32)
+                   for x in (eps, pi, k_soft, mu, alpha, eps_min, eps_max,
+                             h, jnp.asarray(n_sub, f32))]
+        folded = [_fold(s) for s in scalars]
+        L0a = jnp.asarray(L0, f32).reshape(B, dL)
+        l0_c = jnp.concatenate([_fold(L0a[:, a]) for a in range(dL)], 0)
+
+        kernel = functools.partial(
+            _hamsoft_analysis_kernel, n=n, dim=dim, n_steps=n_steps,
+            n_sub_max=n_sub_max, interval=interval, G=G, k_wall=k_wall,
+            eta=eta, jcap=jcap, bexp=bexp, policy=policy,
+            grad_mode=grad_mode, lam_align=lam_align)
+        L = B // _SUB
+        grid = (L // lanes,)
+        bs = lambda rows: pl.BlockSpec((rows, lanes), lambda i: (0, i))
+        n_acc = 1 + 4 * len(_ACC_METRICS)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs(nd * _SUB), bs(nd * _SUB), bs(n * _SUB)]
+            + [bs(_SUB)] * 9 + [bs(dL * _SUB)],
+            out_specs=(bs(nd * _SUB), bs(nd * _SUB), bs(_SUB), bs(_SUB),
+                       bs(n_acc * _SUB), bs(n_samples * _SUB),
+                       bs(n_samples * _SUB)),
+            out_shape=(jax.ShapeDtypeStruct((nd * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((nd * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((_SUB, L), f32),
+                       jax.ShapeDtypeStruct((n_acc * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((n_samples * _SUB, L), f32),
+                       jax.ShapeDtypeStruct((n_samples * _SUB, L), f32)),
+            interpret=interpret,
+        )(pos_c, vel_c, mass_c, *folded, l0_c)
+        out_pos, out_vel, out_eps, out_pi, out_acc, out_es, out_ps = outs
+
+        def unfold(block):
+            coords = [block[k * _SUB:(k + 1) * _SUB, :].reshape(B)
+                      for k in range(nd)]
+            return jnp.stack(coords, axis=1).reshape(B, n, dim)
+
+        row = lambda k: out_acc[k * _SUB:(k + 1) * _SUB, :].reshape(B)
+        cnt = row(0)
+        accs = {}
+        for k, name in enumerate(_ACC_METRICS):
+            base = 1 + 4 * k
+            accs[name] = (cnt, row(base), row(base + 1), row(base + 2),
+                          row(base + 3))
+        samples = lambda blk: blk.reshape(n_samples, _SUB, L).reshape(
+            n_samples, B)
+        return (unfold(out_pos), unfold(out_vel), out_eps.reshape(B),
+                out_pi.reshape(B), accs, samples(out_es), samples(out_ps))
 
     if interpret:
         return run()

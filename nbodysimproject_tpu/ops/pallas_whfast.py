@@ -206,19 +206,46 @@ def _whfast_multistep_kernel(pos_ref, vel_ref, mass_ref, eps2_ref,
         return x
 
     def kepler_drift(pos, vel, dt):
-        """D(dt): body 0 linear in Jacobi, planets on Kepler orbits
-        with mu_i = G cum_i (whfast.py:74-101)."""
+        """D(dt): the COM drifts linearly, planets on Kepler orbits
+        with mu_i = G cum_i — the COM-anchored (exactly symplectic)
+        convention of whfast.py:74-124: reconstruct with slot 0 zeroed,
+        then translate so the COM lands on its free drift."""
         jp = to_jacobi(pos)
         jv = to_jacobi(vel)
         dtf = f32(dt)
+        invM = inv_cm[n - 1]
+        comq = []
+        comv = []
         for a in range(dim):
-            jp[a] = jp[a] + jv[a] * dtf
+            sq = mass[0] * pos[a]
+            sv = mass[0] * vel[a]
+            for i in range(1, n):
+                sq = sq + mass[i] * pos[i * dim + a]
+                sv = sv + mass[i] * vel[i * dim + a]
+            comq.append(sq * invM)
+            comv.append(sv * invM)
+        for a in range(dim):  # gauge: slot 0 zeroed before reconstruction
+            jp[a] = jnp.zeros_like(jp[a])
+            jv[a] = jnp.zeros_like(jv[a])
         for i in range(1, n):
             sl = slice(i * dim, (i + 1) * dim)
             r_i, v_i = _kepler_lc_blocks(jp[sl], jv[sl], mu[i], dt, iters)
             jp[sl] = r_i
             jv[sl] = v_i
-        return from_jacobi(jp), from_jacobi(jv)
+        x = from_jacobi(jp)
+        v = from_jacobi(jv)
+        for a in range(dim):
+            sq = mass[0] * x[a]
+            sv = mass[0] * v[a]
+            for i in range(1, n):
+                sq = sq + mass[i] * x[i * dim + a]
+                sv = sv + mass[i] * v[i * dim + a]
+            dq = comq[a] + comv[a] * dtf - sq * invM
+            dv = comv[a] - sv * invM
+            for i in range(n):
+                x[i * dim + a] = x[i * dim + a] + dq
+                v[i * dim + a] = v[i * dim + a] + dv
+        return x, v
 
     def accel(pos):
         """a_int = -grad V_int / m: softened direct acceleration plus

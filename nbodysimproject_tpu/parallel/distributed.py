@@ -250,7 +250,12 @@ def merge_shards(out_dir: str):
     import pandas as pd
 
     paths = sorted(glob.glob(os.path.join(out_dir, "shard_*.csv.gz")))
-    frames = [pd.read_csv(p, comment="#") for p in paths]
+    # float_precision="round_trip": pandas' default fast parser loses
+    # the last ulp, which would break the bitwise sharded==single
+    # contract THROUGH the shard files (values are written with
+    # shortest-round-trip repr, so the exact parser recovers them)
+    frames = [pd.read_csv(p, comment="#", float_precision="round_trip")
+              for p in paths]
     df = pd.concat(frames, ignore_index=True)
     return df.sort_values("simulation_id").reset_index(drop=True)
 

@@ -19,6 +19,45 @@ def _sim(mode="ham_soft"):
         softening=0.05)
 
 
+class TestSofteningLedger:
+    """validate_energy replay self-check (softening_manager.py:376-389;
+    VERDICT round-3 item 8: the round-3 shim only checked finiteness)."""
+
+    def _adaptive_sim(self):
+        sim = nb.NBodySimulation(
+            integrator_mode="verlet", adaptive_softening=True,
+            masses=[1.0, 0.5, 0.1],
+            positions=[[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],
+            velocities=[[0.0, 0.0], [0.0, 1.0], [-0.5, 0.0]],
+            softening=0.05)
+        for _ in range(25):
+            sim.step(0.01)
+        return sim
+
+    def test_replay_matches_ledger(self, capsys):
+        sim = self._adaptive_sim()
+        assert len(sim._eps_ledger["entries"]) >= 2
+        assert len(sim.manager.history) >= 3
+        led = sim._eps_ledger
+        total = led["base"] + sum(e[2] for e in led["entries"])
+        assert abs(total - sim.softening_energy_delta) <= \
+            1e-10 * max(1.0, abs(sim.softening_energy_delta))
+        sim.manager.validate_energy()
+        assert "energy mismatch" not in capsys.readouterr().out
+
+    def test_corrupted_ledger_is_caught(self, capsys):
+        sim = self._adaptive_sim()
+        sim.softening_energy_delta += 1e-3  # corrupt the accumulator
+        sim.manager.validate_energy()
+        assert "energy mismatch" in capsys.readouterr().out
+
+    def test_reset_clears_ring(self):
+        sim = self._adaptive_sim()
+        sim.manager.update_base_softening(adaptive=False)
+        assert sim._eps_ledger["entries"] == []
+        assert sim.manager.history == []
+
+
 class TestProbes:
     def test_probe_accessors(self):
         sim = _sim()

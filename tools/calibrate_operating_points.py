@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Calibrated per-cohort operating points (VERDICT round-3 item 4).
+
+Protocol:
+1. Draw a FRESH headline-v3 mixture (seed disjoint from the training
+   dataset's 42) and label it with the full-mode analyzer — a true
+   held-out sample of the training distribution.
+2. Score its pre-integration features with the shipped headline models
+   (raw model scores, no integration at inference).
+3. Split into calibration / evaluation halves, stratified by
+   (cohort, label).
+4. Fit per-cohort isotonic calibration + choose ONE operating point on
+   the calibrated probability (max overall balanced accuracy) on the
+   calibration half (ml/calibrate.py).
+5. Report per-cohort / union / overall metrics on the UNSEEN eval half
+   and ship the calibration block into the model metadata (schema v2,
+   applied by ml/predict.py).
+
+Round-3 baseline being replaced: raw per-cohort Youden thresholds with
+__overall__ BA 0.8780 and close-encounter precision 0.054
+(data/headline_metrics_1M.json gbdt_pre_cohort_operating_points).
+
+Env: CAL_B (default 131072), CAL_SEED (20260819), CAL_STEPS (1000),
+CAL_CSV (data/stability_calib.csv.gz; reused when present).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+
+B = int(os.environ.get("CAL_B", 131072))
+SEED = int(os.environ.get("CAL_SEED", 20260819))
+N_STEPS = int(os.environ.get("CAL_STEPS", 1000))
+CSV = os.environ.get("CAL_CSV", "data/stability_calib.csv.gz")
+OUT = os.environ.get("CAL_METRICS", "data/calibration_metrics.json")
+
+
+def log(msg):
+    print(f"[calibrate] {msg}", file=sys.stderr, flush=True)
+
+
+def build_frame():
+    import pandas as pd
+
+    if os.path.exists(CSV):
+        log(f"reusing {CSV}")
+        return pd.read_csv(CSV, comment="#")
+    import time
+
+    import jax
+
+    from nbodysimproject_tpu.analysis.batch import analyze_population
+    from nbodysimproject_tpu.generators.pipeline import (
+        headline_population, _PIPE_CFG)
+
+    log(f"drawing fresh headline-v3 mixture B={B} seed={SEED}")
+    mass, pos, vel, mask, soft, types = headline_population(
+        jax.random.PRNGKey(SEED), B, n_slots=8)
+    soft_np = np.asarray(soft)
+    CHUNK = min(B, 131072)
+    t0 = time.perf_counter()
+    parts = []
+    for start in range(0, B, CHUNK):
+        sl = slice(start, start + CHUNK)
+        part = analyze_population(mass[sl], pos[sl], vel[sl], mask[sl],
+                                  _PIPE_CFG, G=1.0, softening=soft_np[sl],
+                                  min_softening=0.0, dt=0.01,
+                                  n_steps=N_STEPS, mode="full", seed=SEED,
+                                  show_progress=False, id_offset=start)
+        parts.append(part)
+        log(f"chunk {start // CHUNK + 1}: "
+            f"{time.perf_counter() - t0:.1f}s elapsed")
+    df = parts[0] if len(parts) == 1 else pd.concat(parts,
+                                                    ignore_index=True)
+    df["system_type"] = types
+    t = time.perf_counter() - t0
+    log(f"analysis: {t:.1f}s -> {B / t:.1f} systems/s; "
+        f"stable={df['is_stable'].mean():.4f}")
+    df.to_csv(CSV, index=False)
+    return df
+
+
+def main():
+    from nbodysimproject_tpu.ml.calibrate import (
+        fit_cohort_calibration, calibrated_probability,
+        choose_global_threshold, evaluate_policy)
+    from nbodysimproject_tpu.ml.predict import StabilityPredictor
+
+    df = build_frame()
+    y = df["is_stable"].to_numpy(np.float64)
+    cohorts = df["system_type"].astype(str).to_numpy()
+
+    # stratified half split by (cohort, label), deterministic
+    rng = np.random.RandomState(7)
+    in_cal = np.zeros(len(df), bool)
+    for key in set(zip(cohorts.tolist(), y.tolist())):
+        sel = np.nonzero((cohorts == key[0]) & (y == key[1]))[0]
+        rng.shuffle(sel)
+        in_cal[sel[:len(sel) // 2]] = True
+
+    results = {"rows": int(len(df)), "seed": SEED, "csv": CSV,
+               "protocol": "fresh held-out draw; isotonic per cohort + "
+                           "single BA-optimal operating point on "
+                           "calibrated probability; fit on one half, "
+                           "reported on the other"}
+    for kind, prefix_meta in (("gbdt", "data/headline_pre_gbdt_metadata.json"),
+                              ("mlp", "data/headline_pre_model_metadata.json")):
+        pred = StabilityPredictor(prefix="data/headline_pre_", model=kind)
+        pred.calibration = None  # raw scores for fitting
+        raw, _legacy, _ = pred.predict_frame(df, cohorts=cohorts,
+                                             return_raw=True)
+        calib = fit_cohort_calibration(raw[in_cal], y[in_cal],
+                                       cohorts[in_cal])
+        pc_cal = calibrated_probability(raw[in_cal], cohorts[in_cal],
+                                        calib)
+        thr = choose_global_threshold(pc_cal, y[in_cal])
+        calib["global_threshold"] = float(thr)
+        calib["fit_rows"] = int(in_cal.sum())
+        calib["fit_seed"] = SEED
+
+        ev = ~in_cal
+        rep = evaluate_policy(raw[ev], y[ev], cohorts[ev], calib, thr)
+        # the round-3 policy on the same eval half, for the comparison
+        legacy_thr = np.asarray([
+            float(pred.cohort_thresholds.get(c, pred.threshold))
+            for c in cohorts[ev]])
+        from nbodysimproject_tpu.ml.calibrate import _binary_report
+
+        rep_legacy = _binary_report(y[ev],
+                                    (raw[ev] > legacy_thr).astype(float),
+                                    raw[ev])
+        results[kind] = {"calibrated_policy": rep,
+                         "legacy_cohort_thresholds_overall": rep_legacy,
+                         "global_threshold": float(thr),
+                         "cohorts_with_curves":
+                             sorted(calib["cohorts"].keys())}
+        ov = rep["__overall__"]
+        ce = rep.get("__close_encounter_union__", {})
+        log(f"{kind}: overall BA={ov['balanced_accuracy']:.4f} "
+            f"(legacy {rep_legacy['balanced_accuracy']:.4f}) "
+            f"CE TPR={ce.get('tpr', float('nan')):.3f} "
+            f"CE prec={ce.get('precision', float('nan')):.3f} thr={thr:.3f}")
+
+        # ship into metadata (schema v2)
+        if os.path.exists(prefix_meta):
+            with open(prefix_meta) as f:
+                meta = json.load(f)
+        else:
+            meta = {}
+        meta["calibration"] = calib
+        with open(prefix_meta, "w") as f:
+            json.dump(meta, f, indent=2)
+        log(f"amended {prefix_meta}")
+
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
