@@ -546,6 +546,8 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                  and fused_path_applicable(rcfg, mode_run, bsz, dtype,
                                            _LANES))
         if (not fused and getattr(rcfg, "use_fused_analysis", False)
+                and rcfg.integrator_mode == "ham_soft"  # tail kepler_split
+                # chunks ride the scan engine by design — not a miss
                 and jax.devices()[0].platform != "cpu"):
             why = []
             if not g_uniform:

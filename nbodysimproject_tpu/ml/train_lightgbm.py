@@ -30,16 +30,25 @@ except Exception:
 
 
 def _make_estimator_and_grid():
+    import os
+
+    # NB_GBDT_GRID=fast: single known-good configuration (the winner of
+    # every full grid run so far at >= 131k rows: 100 leaves, lr 0.1)
+    # for million-row refreshes on 1-vCPU hosts, where the 16-point
+    # grid's 80 fits cost more wall clock than the TPU analysis that
+    # produced the dataset (5,855 s at 1M in round 3).  Recorded in the
+    # metrics JSON via the best_params log either way.
+    fast = os.environ.get("NB_GBDT_GRID") == "fast"
     if _HAVE_LGB:
         est = lgb.LGBMClassifier(objective="binary", random_state=42)
-        grid = {"num_leaves": [31, 50, 70, 100],
-                "learning_rate": [0.01, 0.05, 0.1, 0.2]}
+        grid = {"num_leaves": [100] if fast else [31, 50, 70, 100],
+                "learning_rate": [0.1] if fast else [0.01, 0.05, 0.1, 0.2]}
         return est, grid
     from sklearn.ensemble import HistGradientBoostingClassifier
 
     est = HistGradientBoostingClassifier(random_state=42)
-    grid = {"max_leaf_nodes": [31, 50, 70, 100],
-            "learning_rate": [0.01, 0.05, 0.1, 0.2]}
+    grid = {"max_leaf_nodes": [100] if fast else [31, 50, 70, 100],
+            "learning_rate": [0.1] if fast else [0.01, 0.05, 0.1, 0.2]}
     return est, grid
 
 
@@ -75,6 +84,10 @@ def train_gbdt(csv_path: str = "stability_data.csv", cv: int = 5,
         y_fit = np.concatenate([y_train, y_val])
 
     est, grid = _make_estimator_and_grid()
+    import os as _os
+
+    cv = int(_os.environ.get("NB_GBDT_CV", cv))  # fold override for
+    # 1-vCPU million-row refreshes (pairs with NB_GBDT_GRID=fast)
     n_splits = min(cv, max(2, int(min(np.sum(y_fit == 0), np.sum(y_fit == 1)))))
     gs = GridSearchCV(est, grid, scoring="roc_auc",
                       cv=StratifiedKFold(n_splits=n_splits, shuffle=True,
