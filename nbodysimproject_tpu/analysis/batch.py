@@ -125,6 +125,18 @@ def _pack_groups(groups, quantum):
 
 
 @jax.jit
+def _take_stack_jit(states, dyns, keys, pad_idx2d):
+    """Gather a whole dispatch GROUP — (k, quantum) indices — in one
+    device program, leaves gaining a leading chunk axis.  One launch
+    instead of k: through the axon tunnel every program execution
+    carries ~13-28 ms of fixed overhead regardless of size (measured,
+    round 4), which dominated the warm 16k analysis at 2 launches per
+    1024-lane chunk."""
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[pad_idx2d], t)
+    return take(states), take(dyns), keys[pad_idx2d]
+
+
+@jax.jit
 def _take_jit(states, dyns, keys, pad_idx):
     """Gather one dispatch chunk out of the population in a SINGLE
     device program.  Done leaf-by-leaf eagerly, the ~27 gather
@@ -215,17 +227,52 @@ def _pack_result(r):
             for ks in groups.values()}
 
 
+def _analysis_multi(states, dyns, keys, dt, *, cfg, feat_cfg, n_steps,
+                    mode, n_sub_max, megno_steps, engine, lanes, g_static,
+                    with_features):
+    """A whole dispatch group in ONE program: ``lax.map`` of the
+    single-chunk analysis program over a leading (k, quantum, ...)
+    chunk axis.  The map body is the same (quantum,)-shaped computation
+    as a standalone chunk program for every k — scan bodies are traced
+    and fused with k-independent shapes — so per-lane rounding does not
+    depend on how many chunks the group holds (the dispatch-quantum
+    bitwise contract across shardings; asserted by
+    tests/test_distributed.py and the multichip dryrun).  One launch
+    per GROUP instead of one gather + one engine launch per CHUNK:
+    at ~13-28 ms of fixed per-launch overhead through the axon tunnel,
+    this is where the warm 16k wall clock went (round-4 measurement).
+
+    Returns {col-names: (n_cols, k * quantum)} packed columns.
+    """
+    def body(xs):
+        st, dy, ks = xs
+        r = _analysis_program(st, dy, ks, dt, cfg=cfg, feat_cfg=feat_cfg,
+                              n_steps=n_steps, mode=mode,
+                              n_sub_max=n_sub_max,
+                              megno_steps=megno_steps, engine=engine,
+                              lanes=lanes, g_static=g_static,
+                              with_features=with_features)
+        return _pack_result(r)
+
+    out = jax.lax.map(body, (states, dyns, keys))
+    # (k, n_cols, q) -> (n_cols, k*q), chunk-major lanes
+    fold = lambda a: jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1)
+    return {nm: fold(a) for nm, a in out.items()}
+
+
 def _drain_packed(pending):
-    """Fetch a list of dispatched chunks: ``pending`` holds
-    (packed_device_dict, valid_idx) pairs.  Chunks sharing a packed
-    column set are concatenated ON DEVICE first, so the whole drain
-    costs one transfer per (column-set, dtype) — at the 16k headline
-    scale that is 1-2 transfers for all 16 chunks instead of 32+.
-    Returns one unpacked host column dict per chunk (trimmed to its
-    valid width)."""
+    """Fetch a list of dispatched GROUPS: ``pending`` holds
+    (packed_device_dict, sel_lanes, global_rows) triples, where
+    ``sel_lanes`` selects the valid lanes of the group's packed
+    (n_cols, k*quantum) arrays and ``global_rows`` are the population
+    rows they belong to.  Groups sharing a packed column set are
+    concatenated ON DEVICE first, so the whole drain costs one
+    transfer per (column-set, dtype) — 1-2 transfers for the whole
+    population.  Returns one host column dict per group (valid lanes
+    only, aligned with global_rows)."""
     out = [dict() for _ in pending]
     bykey = {}
-    for ci, (pk, _part) in enumerate(pending):
+    for ci, (pk, _sel, _rows) in enumerate(pending):
         for names, arr in pk.items():
             bykey.setdefault(names, []).append((ci, arr))
     for names, items in bykey.items():
@@ -240,9 +287,9 @@ def _drain_packed(pending):
             splits = [packed[:, offs[i]:offs[i + 1]]
                       for i in range(len(arrs))]
         for (ci, _), sp in zip(items, splits):
-            n_valid = len(pending[ci][1])
+            sel = pending[ci][1]
             for i, c in enumerate(cols):
-                out[ci][c] = sp[i, :n_valid]
+                out[ci][c] = sp[i][sel]
     return out
 
 
@@ -560,30 +607,54 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             fused_misses.append((bsz, "; ".join(why)))
         return "fused" if fused else "scan"
 
-    def _dispatch_chunk(pad_idx, bsz, n_steps_run, mode_run, b, megno_run,
-                        rcfg, want_features):
-        """Gather one chunk and launch its single analysis program
-        (metrics + merged features + device-side column packing all in
-        one exported module; see ``_analysis_program``).  Returns the
-        packed device dict — nothing is fetched here."""
+    def _dispatch_group(idx, n_steps_run, mode_run, b, megno_run,
+                        rcfg, want_features, min_bsz=1):
+        """Gather the chunks of one group in stacked programs and launch
+        ``lax.map``-over-chunks analysis programs (metrics + merged
+        features + device-side column packing in one exported module;
+        see ``_analysis_multi``).  The chunk plan is split into
+        power-of-two-sized sub-stacks (binary decomposition, largest
+        first) so the set of DISTINCT compiled (k, quantum) shapes per
+        bucket is O(log k) instead of one per group size — a 10M-row
+        run meets hundreds of distinct bucket sizes and a fresh
+        stacked-program trace costs ~50-75 s on this host.  Launches
+        are all asynchronous (the caller drains later), so the extra
+        log2(k) dispatches ride the device queue for free.  Returns a
+        list of (packed_device_dict, sel_lanes, global_rows) triples —
+        nothing fetched.
+        """
         from ..utils.aot_cache import aot_call
 
-        st, dy, ks = _take_jit(states, dyns, keys, pad_idx)
-        # Engine programs go through the jax.export AOT cache: the
-        # per-(bucket, engine) ladder costs ~50-75 s of host-side
-        # tracing per program in a fresh process, which the persistent
-        # XLA compile cache cannot skip; exported StableHLO reloads in
-        # milliseconds and its compile hits the compile cache
-        # byte-exactly (utils/aot_cache.py).
-        return aot_call(
-            "an_prog", _analysis_program, (st, dy),
-            dict(keys=ks, dt=jnp.asarray(dt, dtype)),
-            dict(cfg=rcfg, feat_cfg=jcfg, n_steps=int(n_steps_run),
-                 mode=mode_run, n_sub_max=int(b), megno_steps=megno_run,
-                 engine=_engine_for(rcfg, mode_run, bsz), lanes=_LANES,
-                 g_static=float(g_np.flat[0]),
-                 with_features=bool(want_features)),
-            out_select=_pack_result)
+        plan = _chunks(idx, min_bsz)
+        bsz = plan[0][1]
+        out = []
+        s = 0
+        while s < len(plan):
+            k = 1 << ((len(plan) - s).bit_length() - 1)
+            sub = plan[s:s + k]
+            s += k
+            pad2d = np.stack([p[0] for p in sub])
+            sel = np.concatenate([np.arange(i * bsz, i * bsz + nv)
+                                  for i, (_p, _b, nv) in enumerate(sub)])
+            rows = np.concatenate([p[0][:p[2]] for p in sub])
+            st, dy, ks = _take_stack_jit(states, dyns, keys, pad2d)
+            # Engine programs go through the jax.export AOT cache: the
+            # per-(bucket, engine) ladder costs ~50-75 s of host-side
+            # tracing per program in a fresh process, which the
+            # persistent XLA compile cache cannot skip; exported
+            # StableHLO reloads in milliseconds and its compile hits
+            # the compile cache byte-exactly (utils/aot_cache.py).
+            pk = aot_call(
+                "an_multi", _analysis_multi, (st, dy),
+                dict(keys=ks, dt=jnp.asarray(dt, dtype)),
+                dict(cfg=rcfg, feat_cfg=jcfg, n_steps=int(n_steps_run),
+                     mode=mode_run, n_sub_max=int(b),
+                     megno_steps=megno_run,
+                     engine=_engine_for(rcfg, mode_run, bsz),
+                     lanes=_LANES, g_static=float(g_np.flat[0]),
+                     with_features=bool(want_features)))
+            out.append((pk, sel, rows))
+        return out
 
     def _run_group(idx, n_steps_run, mode_run, b, megno_run, min_bsz=1,
                    run_cfg=None, want_features=False):
@@ -597,12 +668,9 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         which must fetch before deciding; the default path pipelines
         dispatch across ALL groups instead (see the group loop)."""
         rcfg = jcfg if run_cfg is None else run_cfg
-        pending = []
-        for pad_idx, bsz, n_valid in _chunks(idx, min_bsz):
-            pk = _dispatch_chunk(pad_idx, bsz, n_steps_run, mode_run, b,
-                                 megno_run, rcfg, want_features)
-            pending.append((pk, pad_idx[:n_valid]))
-        parts = [p for p in _drain_packed(pending)]
+        parts = _drain_packed(_dispatch_group(
+            idx, n_steps_run, mode_run, b, megno_run, rcfg,
+            want_features, min_bsz=min_bsz))
         if len(parts) == 1:
             return parts[0]
         return {k: np.concatenate([p[k] for p in parts])
@@ -646,7 +714,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     # round-3 item 1's "overlap chunk k+1's gather with chunk k's
     # fetch" — generalised to full-population lookahead; chunk outputs
     # are ~0.5 MB each, so device residency is trivial).
-    pending = []  # (packed_device_dict, valid_idx)
+    pending = []  # (packed_device_dict, sel_lanes, global_rows)
     for b, is_tail, idx in groups:
         _t0 = _time.perf_counter() if _timing else 0.0
         run_cfg = cfg_tail if is_tail else jcfg
@@ -723,20 +791,18 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
             # probe found nothing: fall through to the pipelined path
             # for the full-horizon run (probe columns are recomputed —
             # survivors restart from scratch by contract)
-        for pad_idx, bsz, n_valid in _chunks(idx):
-            pk = _dispatch_chunk(pad_idx, bsz, n_steps, mode, b,
-                                 megno_steps, run_cfg, mode == "full")
-            pending.append((pk, pad_idx[:n_valid]))
+        pending.extend(_dispatch_group(idx, n_steps, mode, b, megno_steps,
+                                       run_cfg, mode == "full"))
         if _timing:
             print(f"[analysis-timing] bucket n_sub={b} tail={is_tail} "
                   f"n={len(idx)} pad={_chunks(idx)[0][1]} "
                   f"chunks={len(_chunks(idx))} dispatch "
                   f"{_time.perf_counter() - _t0:.3f}s", flush=True)
     _t0 = _time.perf_counter() if _timing else 0.0
-    for (pk, part), r in zip(pending, _drain_packed(pending)):
-        _scatter(r, part)
+    for (pk, _sel, rows), r in zip(pending, _drain_packed(pending)):
+        _scatter(r, rows)
     if _timing and pending:
-        print(f"[analysis-timing] drain {len(pending)} chunks "
+        print(f"[analysis-timing] drain {len(pending)} groups "
               f"{_time.perf_counter() - _t0:.3f}s", flush=True)
     if fused_misses and show_progress:
         from collections import Counter
