@@ -204,9 +204,32 @@ def wh_interaction_accel(state: SimState, dyn, cfg=None):
         # data/bench_whfast_largen.json.
         from .largen import make_force_fn
 
-        force_fn = make_force_fn(cfg, n, q.shape[-1],
-                                 interpret=jax.default_backend() != "tpu")
-        F, _dropped = force_fn(q, m, jnp.sqrt(s2), dyn.G)
+        if getattr(cfg, "force_mode", "direct") == "p3m":
+            # the central mass through the mesh would put its
+            # TSC-smeared near field (O(1) relative error at the inner
+            # planets' radii) straight into the kick — and that term
+            # mostly cancels against the analytic Kepler gradient
+            # below, so the cancellation must be exact.  Split: body 0
+            # (dominant mass, Jacobi order) gets the exact O(N) pair
+            # force; the mesh sees only the planet-planet field, whose
+            # scale IS the interaction force.
+            force_fn = make_force_fn(cfg, n - 1, q.shape[-1],
+                                     interpret=jax.default_backend()
+                                     != "tpu")
+            F_pp, _dropped = force_fn(q[1:], m[1:], jnp.sqrt(s2), dyn.G)
+            d0 = q[1:] - q[0][None, :]
+            r2_0 = jnp.sum(d0 * d0, axis=1) + s2
+            r0 = jnp.sqrt(jnp.where(r2_0 > 0, r2_0, 1.0))
+            w0 = jnp.where(r2_0 > 0,
+                           dyn.G * m[0] * m[1:] / (r0 * r0 * r0), 0.0)
+            F_sp = -w0[:, None] * d0          # pull toward the star
+            F = jnp.concatenate([-jnp.sum(F_sp, axis=0, keepdims=True),
+                                 F_pp + F_sp], axis=0)
+        else:
+            force_fn = make_force_fn(cfg, n, q.shape[-1],
+                                     interpret=jax.default_backend()
+                                     != "tpu")
+            F, _dropped = force_fn(q, m, jnp.sqrt(s2), dyn.G)
     else:
         F = force_auto(q, m, jnp.sqrt(s2), dyn.G, state.mask, cfg)
     msafe = jnp.where(m > 0.0, m, 1.0)

@@ -127,14 +127,62 @@ def choose_global_threshold(prob_cal, y, *, grid_points: int = 199) -> float:
     return best_t
 
 
-def evaluate_policy(prob_raw, y, cohorts, calib, thr) -> dict:
+def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors) -> dict:
+    """Recall-constrained per-cohort operating points on the CALIBRATED
+    probability: for each cohort named in ``floors`` (cohort -> minimum
+    TPR), the LARGEST threshold whose within-cohort TPR still meets the
+    floor — i.e. the maximum-precision point subject to the recall
+    constraint.  Calibration is monotone, so this is exactly the
+    cohort's ROC point at that recall; shipping it alongside the global
+    BA-optimal threshold lets rare-positive cohorts (close-encounter:
+    ~0.5% stable) keep recall without dragging every other cohort's
+    operating point with them (the round-3 failure mode).
+
+    A key may also be a TUPLE of cohort names: their positives are
+    pooled for the fit and every member ships the same threshold —
+    the right call when the individual cohorts are too rare-positive
+    to pin a recall floor on their own (close-encounter: a 131k draw
+    yields only ~35 positives per cohort per split half).
+
+    Returns {cohort: threshold} for the cohorts that have at least one
+    positive in the fit split; cohorts with no positives are skipped
+    (no estimable recall)."""
+    prob_cal = np.asarray(prob_cal, np.float64)
+    y = np.asarray(y, np.float64)
+    cohorts = np.asarray([str(c) for c in cohorts])
+    points = {}
+    for key, floor in floors.items():
+        members = (key,) if isinstance(key, str) else tuple(key)
+        sel = np.isin(cohorts, members) & (y == 1)
+        if not sel.any():
+            continue
+        pos = np.sort(prob_cal[sel])[::-1]
+        k = int(np.ceil(float(floor) * len(pos)))
+        k = min(max(k, 1), len(pos))
+        # pred = prob > thr is strict, so step just below the k-th
+        # largest positive score to include it
+        thr = float(np.nextafter(pos[k - 1], -np.inf))
+        for c in members:
+            points[c] = thr
+    return points
+
+
+def evaluate_policy(prob_raw, y, cohorts, calib, thr,
+                    cohort_points=None) -> dict:
     """Per-cohort + union + overall test report at the shipped policy
-    (calibrated probability > thr), mirroring the layout of
+    (calibrated probability > thr, with any per-cohort operating
+    points from ``calib["cohort_operating_points"]`` overriding the
+    global threshold for their cohort), mirroring the layout of
     tools/run_headline_dataset.py::calibrated_operating_points so the
     metrics JSONs stay comparable across rounds."""
     cohorts = np.asarray([str(c) for c in cohorts])
     pc = calibrated_probability(prob_raw, cohorts, calib)
-    pred = (pc > thr).astype(np.float64)
+    if cohort_points is None:
+        cohort_points = calib.get("cohort_operating_points", {})
+    thr_vec = np.full(len(pc), float(thr))
+    for c, t in (cohort_points or {}).items():
+        thr_vec[cohorts == c] = float(t)
+    pred = (pc > thr_vec).astype(np.float64)
     report = {}
     for c in sorted(set(cohorts.tolist())):
         sel = cohorts == c

@@ -105,7 +105,19 @@ class StabilityPredictor:
             prob = calibrated_probability(raw, cohorts, self.calibration)
             thr = float(self.calibration.get("global_threshold",
                                              self.threshold))
-            out = (prob, prob > thr)
+            points = self.calibration.get("cohort_operating_points") or {}
+            if cohorts is not None and points:
+                # recall-floor operating points for rare-positive
+                # cohorts (close-encounter keeps TPR >= 0.9 at the
+                # cohort's measured max precision) override the global
+                # BA-optimal threshold for their cohort only
+                thr_vec = np.full(len(prob), thr)
+                cs = np.asarray([str(c) for c in cohorts])
+                for c, t in points.items():
+                    thr_vec[cs == c] = float(t)
+                out = (prob, prob > thr_vec)
+            else:
+                out = (prob, prob > thr)
         else:
             thr = np.full(len(raw), self.threshold)
             if cohorts is not None and self.cohort_thresholds:

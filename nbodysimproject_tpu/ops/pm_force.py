@@ -189,7 +189,11 @@ def _split_kernel_ffts(Ng, cell, eps, G, r_cut, dtype):
     ry = off[None, :]
     r2 = rx * rx + ry * ry
     g = _smoothstep(jnp.sqrt(r2) / r_cut)
-    inv = (r2 + eps * eps) ** (-1.5) * g
+    # r = 0 sample: g -> 0 there, but with eps = 0 the bare kernel is
+    # inf and 0 * inf = NaN would poison the whole FFT (the WHFast
+    # planetary route runs unsoftened) — guard the origin explicitly
+    r2_safe = jnp.where(r2 > 0, r2, 1.0)
+    inv = jnp.where(r2 > 0, (r2_safe + eps * eps) ** (-1.5) * g, 0.0)
     KX = jnp.fft.rfft2(-G * rx * inv)
     KY = jnp.fft.rfft2(-G * ry * inv)
 

@@ -146,3 +146,78 @@ def test_predictor_applies_calibration_block():
     np.testing.assert_array_equal(verdict, prob > 0.3)
     assert not np.array_equal(verdict, legacy_verdict) or \
         (prob > 0.3).mean() in (0.0, 1.0)
+
+
+def test_recall_floor_thresholds_meet_floor_with_max_precision():
+    """choose_recall_floor_thresholds: the shipped point is the
+    max-precision threshold whose within-cohort TPR still meets the
+    floor — one step tighter would break the constraint."""
+    from nbodysimproject_tpu.ml.calibrate import (
+        choose_recall_floor_thresholds)
+
+    rng = np.random.RandomState(5)
+    # rare-positive cohort (like close_encounter): 2% stable
+    n = 20000
+    y = (rng.uniform(size=n) < 0.02).astype(np.float64)
+    prob = np.clip(rng.normal(0.2 + 0.5 * y, 0.15), 0, 1)
+    cohorts = np.array(["close_encounter"] * n)
+    pts = choose_recall_floor_thresholds(prob, y, cohorts,
+                                         {"close_encounter": 0.9})
+    t = pts["close_encounter"]
+    tpr = (prob[y == 1] > t).mean()
+    assert tpr >= 0.9
+    # maximal: the next-larger candidate threshold (the k-th positive
+    # score itself) would drop below the floor
+    pos = np.sort(prob[y == 1])[::-1]
+    k = int(np.ceil(0.9 * len(pos)))
+    assert (prob[y == 1] > pos[k - 1]).mean() < 0.9
+    # a cohort absent from the data / with no positives is skipped
+    pts2 = choose_recall_floor_thresholds(
+        prob, np.zeros(n), cohorts, {"close_encounter": 0.9})
+    assert pts2 == {}
+
+
+def test_evaluate_policy_and_predictor_apply_cohort_points():
+    """Per-cohort operating points override the global threshold for
+    their cohort only, in both evaluate_policy and predict_frame."""
+    import os
+
+    import pandas as pd
+
+    from nbodysimproject_tpu.ml.predict import StabilityPredictor
+
+    rng = np.random.RandomState(6)
+    raw, _, y = _synthetic(4000, rng, miscal=2.0)
+    cohorts = np.array((["close_encounter"] * 2000)
+                       + (["hierarchical"] * 2000))
+    calib = fit_cohort_calibration(raw, y, cohorts)
+    calib["global_threshold"] = 0.5
+    calib["cohort_operating_points"] = {"close_encounter": 0.1}
+    rep = evaluate_policy(raw, y, cohorts, calib, 0.5)
+    rep_none = evaluate_policy(raw, y, cohorts, calib, 0.5,
+                               cohort_points={})
+    # the overridden cohort moves (lower threshold -> TPR up), the
+    # other cohort is untouched
+    assert rep["close_encounter"]["tpr"] >= \
+        rep_none["close_encounter"]["tpr"]
+    assert rep["hierarchical"] == rep_none["hierarchical"]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pred = StabilityPredictor(
+        prefix=os.path.join(repo, "data", "headline_pre_"), model="gbdt")
+    df = pd.DataFrame(rng.normal(size=(64, len(pred.feature_names))),
+                      columns=pred.feature_names)
+    pc_cohorts = np.array(["close_encounter"] * 32 + ["random"] * 32)
+    xs = np.linspace(0, 1, 21)
+    pred.calibration = {
+        "schema_version": 2, "method": "isotonic",
+        "global_threshold": 0.9,
+        "cohort_operating_points": {"close_encounter": -1.0},
+        "__pooled__": {"x": list(xs), "y": list(xs)}, "cohorts": {}}
+    prob, verdict = pred.predict_frame(df, cohorts=pc_cohorts)
+    # threshold -1 -> every CE row verdicts stable; others use 0.9
+    assert verdict[:32].all()
+    np.testing.assert_array_equal(verdict[32:], prob[32:] > 0.9)
+    # without cohorts the global threshold applies everywhere
+    prob2, verdict2 = pred.predict_frame(df)
+    np.testing.assert_array_equal(verdict2, prob2 > 0.9)

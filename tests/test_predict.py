@@ -76,7 +76,15 @@ def test_predictor_scores_fresh_population():
         assert prob.shape == (8,) and np.isfinite(prob).all()
         assert ((prob >= 0) & (prob <= 1)).all()
         assert stable.dtype == bool
-        # per-cohort threshold must actually be applied when shipped
-        if "random" in pred.cohort_thresholds:
+        # the shipped operating-point policy must actually be applied:
+        # schema-v2 calibration block (global threshold + per-cohort
+        # recall-floor overrides) when present, legacy per-cohort raw
+        # thresholds otherwise
+        if pred.calibration:
+            pts = pred.calibration.get("cohort_operating_points") or {}
+            thr = float(pts.get("random",
+                                pred.calibration["global_threshold"]))
+            np.testing.assert_array_equal(stable, prob > thr)
+        elif "random" in pred.cohort_thresholds:
             thr = pred.cohort_thresholds["random"]
             np.testing.assert_array_equal(stable, prob > thr)

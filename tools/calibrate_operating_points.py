@@ -89,7 +89,8 @@ def build_frame():
 def main():
     from nbodysimproject_tpu.ml.calibrate import (
         fit_cohort_calibration, calibrated_probability,
-        choose_global_threshold, evaluate_policy)
+        choose_global_threshold, choose_recall_floor_thresholds,
+        evaluate_policy)
     from nbodysimproject_tpu.ml.predict import StabilityPredictor
 
     df = build_frame()
@@ -99,7 +100,7 @@ def main():
     # stratified half split by (cohort, label), deterministic
     rng = np.random.RandomState(7)
     in_cal = np.zeros(len(df), bool)
-    for key in set(zip(cohorts.tolist(), y.tolist())):
+    for key in sorted(set(zip(cohorts.tolist(), y.tolist()))):
         sel = np.nonzero((cohorts == key[0]) & (y == key[1]))[0]
         rng.shuffle(sel)
         in_cal[sel[:len(sel) // 2]] = True
@@ -119,13 +120,78 @@ def main():
                                        cohorts[in_cal])
         pc_cal = calibrated_probability(raw[in_cal], cohorts[in_cal],
                                         calib)
-        thr = choose_global_threshold(pc_cal, y[in_cal])
+        # pooled fit: each CE cohort alone has ~35 positives per split
+        # half, too few to pin a floor; the union doubles the sample
+        # and ships one shared threshold
+        floors = {("close_encounter", "close_encounter_boundary"):
+                  float(os.environ.get("CAL_CE_FLOOR", 0.93))}
+        # the global threshold governs only the rows the cohort
+        # operating points do not override — but the shipped objective
+        # is the POOLED overall BA, so fit it by maximising exactly
+        # that: with CE confusion counts frozen at their floor point,
+        # pooled BA is a weighted BA over governed rows with pooled
+        # class weights
+        ce_members = ("close_encounter", "close_encounter_boundary")
+        pts = choose_recall_floor_thresholds(pc_cal, y[in_cal],
+                                             cohorts[in_cal], floors)
+        gov = ~np.isin(cohorts[in_cal], ce_members)
+        y_fit = y[in_cal]
+        thr_ce = np.asarray([pts.get(c, np.nan)
+                             for c in cohorts[in_cal]])
+        ce_pred = pc_cal > thr_ce
+        tp_ce = float((ce_pred & ~gov & (y_fit == 1)).sum())
+        tn_ce = float((~ce_pred & ~gov & (y_fit == 0)).sum())
+        p_tot = float((y_fit == 1).sum())
+        n_tot = float((y_fit == 0).sum())
+        best_t, best_ba = 0.5, -1.0
+        for t in np.unique(np.quantile(pc_cal[gov],
+                                       np.linspace(0.005, 0.995, 199))):
+            pred_g = pc_cal[gov] > t
+            tp = tp_ce + float((pred_g & (y_fit[gov] == 1)).sum())
+            tn = tn_ce + float((~pred_g & (y_fit[gov] == 0)).sum())
+            ba = 0.5 * (tp / p_tot + tn / n_tot)
+            if ba > best_ba:
+                best_ba, best_t = ba, float(t)
+        thr = best_t
         calib["global_threshold"] = float(thr)
+        # recall-floor operating points for the rare-positive cohorts:
+        # close-encounter stays at TPR >= 0.9 (its measured
+        # max-precision point at that recall) instead of the global
+        # BA-optimal threshold, which would sacrifice nearly all CE
+        # recall (stable fraction ~0.5%)
+        calib["cohort_operating_points"] = choose_recall_floor_thresholds(
+            pc_cal, y[in_cal], cohorts[in_cal], floors)
         calib["fit_rows"] = int(in_cal.sum())
         calib["fit_seed"] = SEED
 
         ev = ~in_cal
         rep = evaluate_policy(raw[ev], y[ev], cohorts[ev], calib, thr)
+        rep_global_only = evaluate_policy(raw[ev], y[ev], cohorts[ev],
+                                          calib, thr, cohort_points={})
+        # the measured precision/recall frontier on the CE union — the
+        # ceiling argument for why (TPR>=0.9, precision>=0.2) is not
+        # simultaneously reachable with the shipped model: precision at
+        # a recall floor is a pure ROC property of the raw score on the
+        # cohort (calibration is monotone), so no threshold policy can
+        # beat this curve
+        ce_sel = np.array([c.startswith("close_encounter")
+                           for c in cohorts[ev]])
+        frontier = []
+        if ce_sel.any() and (y[ev][ce_sel] == 1).any():
+            ys, ps = y[ev][ce_sel], raw[ev][ce_sel]
+            order = np.argsort(-ps)
+            ys_o = ys[order]
+            tp = np.cumsum(ys_o)
+            fp = np.cumsum(1 - ys_o)
+            npos = float(ys.sum())
+            for target in (0.5, 0.7, 0.8, 0.9, 0.95):
+                i = int(np.searchsorted(tp / npos, target))
+                if i < len(ys_o):
+                    frontier.append({
+                        "tpr_floor": target,
+                        "tpr": float(tp[i] / npos),
+                        "precision": float(tp[i] / (tp[i] + fp[i])),
+                        "fpr": float(fp[i] / max(len(ys) - npos, 1.0))})
         # the round-3 policy on the same eval half, for the comparison
         legacy_thr = np.asarray([
             float(pred.cohort_thresholds.get(c, pred.threshold))
@@ -136,14 +202,20 @@ def main():
                                     (raw[ev] > legacy_thr).astype(float),
                                     raw[ev])
         results[kind] = {"calibrated_policy": rep,
+                         "calibrated_global_only": rep_global_only,
                          "legacy_cohort_thresholds_overall": rep_legacy,
                          "global_threshold": float(thr),
+                         "cohort_operating_points":
+                             calib["cohort_operating_points"],
+                         "ce_precision_recall_frontier": frontier,
                          "cohorts_with_curves":
                              sorted(calib["cohorts"].keys())}
         ov = rep["__overall__"]
+        ov_g = rep_global_only["__overall__"]["balanced_accuracy"]
         ce = rep.get("__close_encounter_union__", {})
         log(f"{kind}: overall BA={ov['balanced_accuracy']:.4f} "
-            f"(legacy {rep_legacy['balanced_accuracy']:.4f}) "
+            f"(global-only {ov_g:.4f}, "
+            f"legacy {rep_legacy['balanced_accuracy']:.4f}) "
             f"CE TPR={ce.get('tpr', float('nan')):.3f} "
             f"CE prec={ce.get('precision', float('nan')):.3f} thr={thr:.3f}")
 
