@@ -191,7 +191,14 @@ def wh_interaction_accel(state: SimState, dyn, cfg=None):
     m, q = state.mass, state.pos
     s2 = state.step_s2
     n = q.shape[0]
-    if cfg is not None and getattr(cfg, "force_mode", "direct") != "direct":
+    # The large-N route assumes every slot is live (no mask support:
+    # masked slots would feed their positions into the mesh bounds and
+    # density deposit) and needs at least one planet pair for the
+    # planet-planet mesh — with n < 3 the split degenerates (n = 1 has
+    # an empty q[1:], whose bounding box is undefined), so small
+    # systems stay on the exact direct path regardless of force_mode.
+    if (cfg is not None and getattr(cfg, "force_mode", "direct") != "direct"
+            and n >= 3):
         # many-planet route (VERDICT round-3 item 7): the direct part of
         # the interaction kick is the proven wall at large N (90% of the
         # N=4096 substep, at the VPU pair-sweep roofline —

@@ -127,7 +127,9 @@ def choose_global_threshold(prob_cal, y, *, grid_points: int = 199) -> float:
     return best_t
 
 
-def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors) -> dict:
+def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors, *,
+                                   min_pos: int = 10,
+                                   counts_out: dict | None = None) -> dict:
     """Recall-constrained per-cohort operating points on the CALIBRATED
     probability: for each cohort named in ``floors`` (cohort -> minimum
     TPR), the LARGEST threshold whose within-cohort TPR still meets the
@@ -144,9 +146,14 @@ def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors) -> dict:
     to pin a recall floor on their own (close-encounter: a 131k draw
     yields only ~35 positives per cohort per split half).
 
-    Returns {cohort: threshold} for the cohorts that have at least one
-    positive in the fit split; cohorts with no positives are skipped
-    (no estimable recall)."""
+    Returns {cohort: threshold} for the cohorts with at least
+    ``min_pos`` positives in the fit split; cohorts below that are
+    skipped with a warning (a floor pinned to a handful of positive
+    scores — in the limit, nextafter() below a single sample — is
+    noise, not an operating point; ``fit_cohort_calibration`` applies
+    the same philosophy via ``min_class``).  ``counts_out``, if given,
+    receives {cohort: n_positives_used} for every SHIPPED point so the
+    calibration block can record the evidence behind each threshold."""
     prob_cal = np.asarray(prob_cal, np.float64)
     y = np.asarray(y, np.float64)
     cohorts = np.asarray([str(c) for c in cohorts])
@@ -154,7 +161,11 @@ def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors) -> dict:
     for key, floor in floors.items():
         members = (key,) if isinstance(key, str) else tuple(key)
         sel = np.isin(cohorts, members) & (y == 1)
-        if not sel.any():
+        n_pos = int(sel.sum())
+        if n_pos < int(min_pos):
+            if n_pos:
+                print(f"[calibrate] recall floor for {members} skipped: "
+                      f"{n_pos} positive(s) < min_pos={min_pos}")
             continue
         pos = np.sort(prob_cal[sel])[::-1]
         k = int(np.ceil(float(floor) * len(pos)))
@@ -164,6 +175,8 @@ def choose_recall_floor_thresholds(prob_cal, y, cohorts, floors) -> dict:
         thr = float(np.nextafter(pos[k - 1], -np.inf))
         for c in members:
             points[c] = thr
+            if counts_out is not None:
+                counts_out[c] = n_pos
     return points
 
 

@@ -74,15 +74,34 @@ def main():
 
     log(f"device={jax.devices()[0]} Ns={NS} steps={STEPS}")
     dtype = jnp.float32
-    out = {"steps": STEPS, "kepler_iters": ITERS, "by_n": {}}
+    import subprocess
+
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    out = {"steps": STEPS, "kepler_iters": ITERS, "revision": rev,
+           "by_n": {}}
     # merge-on-rerun: a single-N retry (remote-compile flakes at the
-    # largest program) must not clobber completed legs
+    # largest program) must not clobber completed legs — but only legs
+    # measured at the SAME git revision may survive, or a retry would
+    # republish stale-kernel numbers as current results
     if os.path.exists("data/bench_whfast_largen.json"):
         with open("data/bench_whfast_largen.json") as f:
             prev = json.load(f)
-        if prev.get("steps") == STEPS and \
-                prev.get("kepler_iters") == ITERS:
+        if (prev.get("steps") == STEPS and prev.get("kepler_iters") == ITERS
+                and prev.get("revision") == rev):
+            carried = sorted(set(prev.get("by_n", {}))
+                             - {str(N) for N in NS})
+            if carried:
+                log(f"carrying over legs from previous run @ {rev}: "
+                    f"{carried}")
             out["by_n"].update(prev.get("by_n", {}))
+        elif prev.get("by_n"):
+            log(f"discarding previous legs (revision "
+                f"{prev.get('revision')} != {rev} or params changed)")
 
     for N in NS:
         m, q, v = planetary_system(N, seed=1, dtype=dtype)

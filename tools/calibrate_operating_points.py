@@ -134,7 +134,15 @@ def main():
         ce_members = ("close_encounter", "close_encounter_boundary")
         pts = choose_recall_floor_thresholds(pc_cal, y[in_cal],
                                              cohorts[in_cal], floors)
-        gov = ~np.isin(cohorts[in_cal], ce_members)
+        # only cohorts that actually SHIP a floor threshold are frozen
+        # out of the global fit; a CE member absent from pts (too few /
+        # no positives in this half) is governed by the global
+        # threshold at inference, so it must be governed in the fit too
+        # (previously its pc_cal > NaN froze it at all-False here while
+        # inference applied the global threshold — fit objective and
+        # shipped policy diverged on that edge case)
+        frozen = [c for c in ce_members if c in pts]
+        gov = ~np.isin(cohorts[in_cal], frozen)
         y_fit = y[in_cal]
         thr_ce = np.asarray([pts.get(c, np.nan)
                              for c in cohorts[in_cal]])
@@ -159,8 +167,11 @@ def main():
         # max-precision point at that recall) instead of the global
         # BA-optimal threshold, which would sacrifice nearly all CE
         # recall (stable fraction ~0.5%)
+        op_counts = {}
         calib["cohort_operating_points"] = choose_recall_floor_thresholds(
-            pc_cal, y[in_cal], cohorts[in_cal], floors)
+            pc_cal, y[in_cal], cohorts[in_cal], floors,
+            counts_out=op_counts)
+        calib["cohort_operating_point_positives"] = op_counts
         calib["fit_rows"] = int(in_cal.sum())
         calib["fit_seed"] = SEED
 
