@@ -60,15 +60,18 @@ def _states_with(states: SimState, quad):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "mode", "n_sub_max",
-                                   "megno_steps", "lanes", "g_static"))
+                                   "megno_steps", "lanes", "g_static",
+                                   "interpret"))
 def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
                         n_sub_max, megno_steps, lanes: int = 256,
-                        g_static: float = 1.0):
+                        g_static: float = 1.0, interpret: bool = False):
     """Drop-in batched replacement for ``analyze_batch_jit`` on the
     fused-kernel configuration (ham_soft, float32, core/full mode).
     states/dyns are stacked PyTrees with leading batch axis B
     (a multiple of 8 * lanes); G must be the uniform ``g_static``
-    (checked by the caller)."""
+    (checked by the caller).  ``interpret`` runs the Pallas kernels in
+    interpret mode so the WHOLE production engine is testable on CPU
+    (tests/test_pallas_batch.py's engine-level parity tests)."""
     B = states.pos.shape[0]
     dtype = states.pos.dtype
     dt = jnp.asarray(dt, dtype)
@@ -88,7 +91,7 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
             k_wall=float(cfg.k_wall), eta=float(cfg.eta),
             jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
             lanes=lanes, policy=policy, grad_mode=grad_mode,
-            lam_align=float(cfg.lambda_softening))
+            lam_align=float(cfg.lambda_softening), interpret=interpret)
 
     H0 = jax.vmap(lambda s, d: E.extended_hamiltonian(s, d, cfg))(states,
                                                                   dyns)
@@ -125,7 +128,7 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
             k_wall=float(cfg.k_wall), eta=float(cfg.eta),
             jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
             lanes=lanes, policy=policy, grad_mode=grad_mode,
-            lam_align=float(cfg.lambda_softening))
+            lam_align=float(cfg.lambda_softening), interpret=interpret)
         quad = (po, vo, eo, pio)
         cnt = accs["com_drift"][0]
         mu_b = dyns.mu_soft[None, :].astype(dtype)
@@ -195,7 +198,7 @@ def analyze_batch_fused(states, dyns, cfg, keys, n_steps, dt, mode,
             G=g_static, k_wall=float(cfg.k_wall), eta=float(cfg.eta),
             jcap=float(cfg.j_max_cap), bexp=int(cfg.barrier_exponent),
             lanes=lanes, policy=policy, grad_mode=grad_mode,
-            lam_align=float(cfg.lambda_softening))
+            lam_align=float(cfg.lambda_softening), interpret=interpret)
         st1 = _states_with(states, (po, vo, eo, pio))
     elif mode == "full" and megno_steps > 0:
         from ..diagnostics.megno import megno_scan
