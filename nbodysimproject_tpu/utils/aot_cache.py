@@ -18,9 +18,15 @@ cached compile + run).
 
 Correctness:
 
-* The cache key includes a content hash of every ``.py`` file in the
-  package, so ANY source edit invalidates all artifacts (stale
-  programs can never replay old numerics silently).
+* The cache key includes a content hash of the traced function's
+  transitive package-internal import closure (static AST walk from
+  ``jit_fn.__module__``; ``_dependency_fingerprint``), so any edit to
+  code the program could trace invalidates its artifacts — while an
+  edit to an unrelated subpackage (ml/, generators/) leaves the
+  analysis engine ladder warm (round-4's any-edit invalidation cost a
+  ~9 min cold re-trace per iteration).  Unresolvable roots fall back
+  to a hash of every ``.py`` file in the package (safe direction);
+  ``NB_AOT_KEY=package`` forces that conservative mode.
 * Keys also carry jax/jaxlib versions, the backend platform + device
   kind, the static-argument repr, and the aval signature (treedef +
   shape/dtype of every leaf).
@@ -40,6 +46,7 @@ import os
 
 _mem: dict = {}
 _pkg_fp: str | None = None
+_dep_fp: dict = {}
 
 
 def enabled() -> bool:
@@ -76,6 +83,160 @@ def _package_fingerprint() -> str:
     return _pkg_fp
 
 
+_PKG = "nbodysimproject_tpu"
+
+
+def _module_path(name: str, root: str) -> str | None:
+    """``nbodysimproject_tpu.a.b`` -> the source file that defines it
+    (``a/b.py`` or ``a/b/__init__.py``), or None if neither exists."""
+    rel = name.split(".")[1:]
+    base = os.path.join(root, *rel) if rel else root
+    if os.path.isfile(base + ".py"):
+        return base + ".py"
+    init = os.path.join(base, "__init__.py")
+    return init if os.path.isfile(init) else None
+
+
+def _module_imports(name: str, path: str, root: str) -> set:
+    """Package-internal modules imported by one source file whose
+    IMPORTS must be traversed in turn: every ``import`` /
+    ``from ... import`` statement (function-level lazy imports
+    included — the AST walk sees them all) plus any
+    ``nbodysimproject_tpu.x.y`` dotted string literal (the
+    ``importlib.import_module`` pattern, analysis/fused.py).
+
+    ``from X import name`` resolution: when ``X.name`` is itself a
+    module, the edge is to ``X.name`` (X's __init__ still joins the
+    hash as an implied parent, but its re-export imports are not
+    followed — that is what keeps ``from .. import diagnostics`` from
+    pulling the top-level __init__'s whole flat API, ml/ and
+    generators/ included, into every closure).  When ``name`` is a
+    plain attribute, it may be re-exported from a submodule, so ``X``
+    itself is traversed."""
+    import ast
+    import re
+
+    with open(path, "rb") as f:
+        src = f.read()
+    tree = ast.parse(src)
+    pkg_parts = name.split(".")
+    # the package a relative import resolves against: the module's
+    # parent for plain modules, the module itself for __init__.py
+    is_pkg = path.endswith("__init__.py")
+    parent = pkg_parts if is_pkg else pkg_parts[:-1]
+    out = set()
+
+    def add(mod: str, names=None):
+        if not (mod == _PKG or mod.startswith(_PKG + ".")):
+            return
+        if names is None:  # `import X` / dotted literal: traverse X
+            out.add(mod)
+            return
+        for n in names:
+            sub = f"{mod}.{n}"
+            if _module_path(sub, root) is not None:
+                out.add(sub)
+            else:
+                out.add(mod)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                add(node.module or "",
+                    [a.name for a in node.names])
+            else:
+                base = parent[:len(parent) - (node.level - 1)]
+                mod = ".".join(base + ([node.module]
+                                       if node.module else []))
+                add(mod, [a.name for a in node.names])
+    for m in re.findall(rb"nbodysimproject_tpu(?:\.\w+)+",
+                        src):
+        out.add(m.decode())
+    return out
+
+
+def _dependency_fingerprint(root_module: str,
+                            root: str | None = None) -> str | None:
+    """Content hash of the transitive package-internal import closure
+    of ``root_module`` (static AST walk, no execution).  Scopes cache
+    invalidation to the code a program can actually trace: an ml/- or
+    tools/-only edit no longer invalidates the analysis engine ladder
+    (round-4 cost: any source edit -> ~9 min cold re-trace), while an
+    edit anywhere in the closure — kernels included — still does.
+    Returns None when the root cannot be resolved (caller falls back
+    to the whole-package fingerprint: safe-direction)."""
+    memo = root is None  # explicit root = test mode, no memoisation
+    if memo:
+        fp = _dep_fp.get(root_module)
+        if fp is not None:
+            return fp or None
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        if _module_path(root_module, root) is None:
+            if memo:
+                _dep_fp[root_module] = ""
+            return None
+        # BFS over EXPLICIT import edges only.  Parent-package
+        # __init__ files also run at import time (and the top-level
+        # one flips global config like x64), so their CONTENT joins
+        # the hash — but their imports are not traversed: the
+        # top-level __init__ re-exports the whole API surface, and
+        # traversing it would pull ml/ and generators/ into every
+        # closure, undoing the scoping this exists for.  A traced
+        # program only reaches other code through its own modules'
+        # explicit imports (all captured by the AST walk, lazy
+        # function-level ones included).
+        seen: dict = {}
+        todo = [root_module]
+        while todo:
+            name = todo.pop()
+            if name in seen:
+                continue
+            path = _module_path(name, root)
+            seen[name] = path
+            if path is None:
+                continue
+            todo.extend(_module_imports(name, path, root))
+        content_only = set()
+        for name in list(seen):
+            parts = name.split(".")
+            for k in range(1, len(parts)):
+                content_only.add(".".join(parts[:k]))
+        for name in content_only - set(seen):
+            seen[name] = _module_path(name, root)
+        h = hashlib.sha256()
+        for name in sorted(seen):
+            path = seen[name]
+            if path is None:
+                continue
+            # root-relative path: checkout location cannot perturb keys
+            h.update(os.path.relpath(path, root).encode())
+            with open(path, "rb") as f:
+                h.update(f.read())
+        fp = h.hexdigest()[:16]
+        if memo:
+            _dep_fp[root_module] = fp
+        return fp
+    except Exception:
+        if memo:
+            _dep_fp[root_module] = ""
+        return None
+
+
+def _code_fingerprint(root_module: str | None) -> str:
+    """Dependency-scoped fingerprint when the traced function lives in
+    the package (and NB_AOT_KEY != 'package'); whole-package hash
+    otherwise."""
+    if (root_module and os.environ.get("NB_AOT_KEY") != "package"):
+        fp = _dependency_fingerprint(root_module)
+        if fp is not None:
+            return fp
+    return _package_fingerprint()
+
+
 def _leaf_sig(leaves) -> str:
     import jax
 
@@ -86,14 +247,15 @@ def _leaf_sig(leaves) -> str:
     return "|".join(parts)
 
 
-def _key(tag: str, statics: dict, treedef, leaves) -> str:
+def _key(tag: str, statics: dict, treedef, leaves,
+         root_module: str | None = None) -> str:
     import jax
 
     dev = jax.devices()[0]
     raw = "\x1e".join([
         tag, jax.__version__,
         dev.platform, getattr(dev, "device_kind", "?"),
-        _package_fingerprint(),
+        _code_fingerprint(root_module),
         repr(sorted(statics.items())),
         str(treedef), _leaf_sig(leaves),
     ])
@@ -125,7 +287,8 @@ def aot_call(tag: str, jit_fn, dyn_args: tuple, dyn_kwargs: dict,
         return out_select(jit_fn(*dyn_args, **dyn_kwargs, **statics))
 
     leaves, treedef = jax.tree_util.tree_flatten((dyn_args, dyn_kwargs))
-    key = _key(tag, statics, treedef, leaves)
+    root_module = getattr(jit_fn, "__module__", None)
+    key = _key(tag, statics, treedef, leaves, root_module)
     fn = _mem.get(key)
     if fn is None:
         from jax import export as jexport

@@ -124,3 +124,112 @@ def test_disabled_bypasses(cache_env, monkeypatch):
     assert not os.listdir(cache_env)
     np.testing.assert_array_equal(np.asarray(got["q"]),
                                   np.asarray(_fn(st, w, k=2)["q"]))
+
+
+class TestDependencyScopedKeys:
+    """Round-5 (VERDICT round-4 item 8): cache keys are scoped to the
+    traced function's transitive import closure, so an ml/- or
+    generators/-only edit no longer invalidates the analysis engine
+    ladder, while any edit in the closure (kernels included) still
+    does."""
+
+    def _tree(self, tmp_path, files):
+        root = tmp_path / "pkg"
+        for rel, src in files.items():
+            p = root / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(src)
+        return str(root)
+
+    _FILES = {
+        "__init__.py": "from .analysis import run\nfrom .ml import train\n",
+        "analysis/__init__.py": "from .engine import run\n",
+        "analysis/engine.py": (
+            "from ..ops.kernel import f\n"
+            "def run():\n"
+            "    from ..ops import helper  # lazy function-level import\n"
+            "    import importlib\n"
+            "    importlib.import_module('nbodysimproject_tpu.ops.lazy')\n"
+            "    return f()\n"),
+        "ops/__init__.py": "",
+        "ops/kernel.py": "def f():\n    return 1\n",
+        "ops/helper.py": "H = 2\n",
+        "ops/lazy.py": "L = 3\n",
+        "ml/__init__.py": "from .train import train\n",
+        "ml/train.py": "def train():\n    return 0\n",
+    }
+
+    def _fp(self, root):
+        from nbodysimproject_tpu.utils.aot_cache import (
+            _dependency_fingerprint)
+
+        return _dependency_fingerprint("nbodysimproject_tpu.analysis.engine",
+                                       root)
+
+    def test_non_dependency_edit_keeps_key(self, tmp_path):
+        root = self._tree(tmp_path, self._FILES)
+        fp0 = self._fp(root)
+        assert fp0 is not None
+        files = dict(self._FILES)
+        files["ml/train.py"] = "def train():\n    return 42  # edited\n"
+        root2 = self._tree(tmp_path / "b", files)
+        assert self._fp(root2) == fp0
+
+    def test_dependency_edit_changes_key(self, tmp_path):
+        fp0 = self._fp(self._tree(tmp_path, self._FILES))
+        for rel in ("ops/kernel.py", "analysis/engine.py", "__init__.py"):
+            files = dict(self._FILES)
+            files[rel] = self._FILES[rel] + "# edited\n"
+            root2 = self._tree(tmp_path / rel.replace("/", "_"), files)
+            assert self._fp(root2) != fp0, f"{rel} edit must invalidate"
+
+    def test_lazy_and_string_imports_in_closure(self, tmp_path):
+        """Function-level imports and importlib string literals are
+        dependency edges too (analysis/fused.py uses both forms)."""
+        fp0 = self._fp(self._tree(tmp_path, self._FILES))
+        for rel in ("ops/helper.py", "ops/lazy.py"):
+            files = dict(self._FILES)
+            files[rel] = self._FILES[rel] + "# edited\n"
+            root2 = self._tree(tmp_path / rel.replace("/", "_"), files)
+            assert self._fp(root2) != fp0, f"{rel} edit must invalidate"
+
+    def test_real_analysis_closure_scoped(self):
+        """The production analysis program's closure contains the
+        compute path (kernels, integrators, diagnostics) and not the
+        ml/ or generators/ subpackages — the concrete promise that an
+        ml/calibrate.py edit leaves the engine ladder warm."""
+        import os as _os
+
+        from nbodysimproject_tpu.utils import aot_cache as A
+
+        pkg_root = _os.path.dirname(_os.path.dirname(
+            _os.path.abspath(A.__file__)))
+        seen, todo = {}, ["nbodysimproject_tpu.analysis.batch"]
+        while todo:
+            name = todo.pop()
+            if name in seen:
+                continue
+            path = A._module_path(name, pkg_root)
+            seen[name] = path
+            if path is None:
+                continue
+            todo.extend(A._module_imports(name, path, pkg_root))
+        rel = sorted(_os.path.relpath(p, pkg_root)
+                     for p in seen.values() if p)
+        for need in ("ops/pallas_hamsoft.py", "analysis/fused.py",
+                     "diagnostics/megno.py", "integrators/hamsoft.py",
+                     "integrators/kepler_split.py"):
+            assert any(need in r for r in rel), (need, rel)
+        bad = [r for r in rel if r.startswith(("ml/", "generators/"))]
+        assert not bad, bad
+
+    def test_unresolvable_root_falls_back(self, cache_env):
+        """A traced function outside the package (this test module)
+        still caches — under the conservative whole-package key."""
+        st = _state()
+        w = jnp.asarray(1.0, jnp.float32)
+        got = aot_cache.aot_call("t6", _fn, (st,), dict(w=w), dict(k=4))
+        np.testing.assert_array_equal(
+            np.asarray(got["q"]), np.asarray(_fn(st, w, k=4)["q"]))
+        arts = [f for f in os.listdir(cache_env) if f.endswith(".jaxexp")]
+        assert len(arts) == 1
