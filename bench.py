@@ -442,22 +442,58 @@ def main():
                            dt=DT, n_steps=AN_STEPS, mode="full",
                            show_progress=False)
         t_cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        df_a = analyze_population(mass_a, pos_a, vel_a, mask_a, cfg_an,
-                                  G=1.0, softening=np.asarray(soft_a),
-                                  min_softening=0.0, dt=DT,
-                                  n_steps=AN_STEPS, mode="full",
-                                  show_progress=False)
-        t_warm = time.perf_counter() - t0
-        rate_an = B_AN / t_warm
+        # Warm leg: MEDIAN of >= 5 repetitions with min/max and a
+        # per-phase breakdown (dispatch vs drain vs host work).  A
+        # single warm iteration on this launch-latency-bound path is
+        # maximally exposed to session-to-session tunnel variance —
+        # round 4's lone-iteration artifact (5,991/s) disagreed with
+        # the committed claim (10,694/s) with nothing to tell variance
+        # from regression (VERDICT round-4 item 1a).
+        AN_REPS = int(os.environ.get("BENCH_ANALYSIS_REPS", 5))
+        t_warms, phases = [], []
+        for _ in range(AN_REPS):
+            tm = {}
+            t0 = time.perf_counter()
+            df_a = analyze_population(mass_a, pos_a, vel_a, mask_a, cfg_an,
+                                      G=1.0, softening=np.asarray(soft_a),
+                                      min_softening=0.0, dt=DT,
+                                      n_steps=AN_STEPS, mode="full",
+                                      show_progress=False, timing_out=tm)
+            t_warms.append(time.perf_counter() - t0)
+            phases.append(tm)
+        t_med = float(np.median(t_warms))
+        rate_an = B_AN / t_med
         details["analysis_systems_per_s"] = rate_an
         details["analysis_B"] = B_AN
+        details["analysis_warm_reps"] = AN_REPS
+        details["analysis_warm_s"] = {
+            "median": t_med, "min": float(np.min(t_warms)),
+            "max": float(np.max(t_warms)),
+            "all": [round(t, 3) for t in t_warms]}
+        details["analysis_rate_spread"] = {
+            "best": B_AN / float(np.min(t_warms)),
+            "worst": B_AN / float(np.max(t_warms))}
+        details["analysis_cold_s"] = t_cold
+        for ph in ("setup_s", "dispatch_s", "drain_s", "frame_s"):
+            details[f"analysis_{ph}"] = {
+                "median": float(np.median([p[ph] for p in phases])),
+                "min": float(np.min([p[ph] for p in phases])),
+                "max": float(np.max([p[ph] for p in phases]))}
+        details["analysis_n_dispatches"] = phases[0]["n_dispatches"]
         print(f"[bench] full-mode analysis (B={B_AN}): cold {t_cold:.1f}s, "
-              f"warm {t_warm:.2f}s -> {rate_an:.1f} systems/s "
+              f"warm median {t_med:.2f}s over {AN_REPS} reps "
+              f"[{np.min(t_warms):.2f}, {np.max(t_warms):.2f}] -> "
+              f"{rate_an:.1f} systems/s "
               f"(stable frac {df_a['is_stable'].mean():.3f}, "
               f"tail fast-path "
               f"{df_a.get('tail_fast_path', np.zeros(1)).mean():.4f})",
               file=sys.stderr)
+        med = lambda ph: float(np.median([p[ph] for p in phases]))
+        print(f"[bench] analysis phases (median s): "
+              f"setup {med('setup_s'):.2f}, dispatch {med('dispatch_s'):.2f}, "
+              f"drain {med('drain_s'):.2f}, frame {med('frame_s'):.2f} "
+              f"({phases[0]['n_dispatches']} dispatches, "
+              f"{phases[0]['n_groups']} groups)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] analysis bench unavailable: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
@@ -479,6 +515,8 @@ def main():
     }
     if rate_an is not None:
         out_line["analysis_systems_per_s"] = rate_an
+        out_line["analysis_rate_best"] = details["analysis_rate_spread"]["best"]
+        out_line["analysis_rate_worst"] = details["analysis_rate_spread"]["worst"]
     if rate_wh is not None:
         out_line["whfast_sys_steps_per_s"] = rate_wh
     print(json.dumps(out_line))

@@ -472,7 +472,7 @@ def ic_feature_frame(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
 def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                        min_softening=0.0, dt=0.01, n_steps=1000,
                        mode="core", seed=0, show_progress=True,
-                       include_ics=True, id_offset=0):
+                       include_ics=True, id_offset=0, timing_out=None):
     """Fully-batched population analysis: ONE construction program and
     ONE analysis program for (B, N, d) arrays — no per-system host
     work.  This is the path that makes the 1e5-system sweep of
@@ -485,12 +485,20 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     ``include_ics``) with the reference's serialize_to_dict schema:
     per-body IC columns and sim metadata
     (minbody/stability_analyzer.py:521-561).
+
+    ``timing_out``: optional dict that receives the wall-clock phase
+    breakdown — setup_s (construction + scheduling), dispatch_s (the
+    pipelined group-launch loop), drain_s (the packed device->host
+    fetch), frame_s (host DataFrame assembly), n_groups, n_dispatches
+    — so a bench can tell engine time from tunnel-latency variance
+    (VERDICT round-4 item 1a).
     """
     import pandas as pd
 
     from ..integrators import calibration as calib
     from ..parallel.batch_engine import build_batch
 
+    _t_setup0 = __import__("time").perf_counter()
     B = pos.shape[0]
     dtype = jnp.float32 if cfg.fast_float32 else jnp.float64
     mass = jnp.asarray(mass, dtype)
@@ -692,6 +700,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     import time as _time
 
     _timing = _os.environ.get("NB_ANALYSIS_TIMING") == "1"
+    _t_setup = _time.perf_counter() - _t_setup0
     groups = []
     for b in np.unique(buckets):
         for is_tail in (False, True):
@@ -715,6 +724,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     # fetch" — generalised to full-population lookahead; chunk outputs
     # are ~0.5 MB each, so device residency is trivial).
     pending = []  # (packed_device_dict, sel_lanes, global_rows)
+    _t_disp0 = _time.perf_counter()
     for b, is_tail, idx in groups:
         _t0 = _time.perf_counter() if _timing else 0.0
         run_cfg = cfg_tail if is_tail else jcfg
@@ -798,12 +808,15 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
                   f"n={len(idx)} pad={_chunks(idx)[0][1]} "
                   f"chunks={len(_chunks(idx))} dispatch "
                   f"{_time.perf_counter() - _t0:.3f}s", flush=True)
-    _t0 = _time.perf_counter() if _timing else 0.0
+    _t_disp = _time.perf_counter() - _t_disp0
+    _t0 = _time.perf_counter()
     for (pk, _sel, rows), r in zip(pending, _drain_packed(pending)):
         _scatter(r, rows)
+    _t_drain = _time.perf_counter() - _t0
     if _timing and pending:
         print(f"[analysis-timing] drain {len(pending)} groups "
-              f"{_time.perf_counter() - _t0:.3f}s", flush=True)
+              f"{_t_drain:.3f}s", flush=True)
+    _t_frame0 = _time.perf_counter()
     if fused_misses and show_progress:
         from collections import Counter
 
@@ -841,6 +854,11 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
     else:
         df["softening_policy"] = "static"
     df["simulation_id"] = np.arange(B)
+    if timing_out is not None:
+        timing_out.update(
+            setup_s=_t_setup, dispatch_s=_t_disp, drain_s=_t_drain,
+            frame_s=_time.perf_counter() - _t_frame0,
+            n_groups=len(groups), n_dispatches=len(pending))
     if show_progress:
         print(f"Completed: {B} simulations analyzed")
     return df
