@@ -115,10 +115,34 @@ def main():
         for name, kw in engines:
             cfg = nb.SimConfig(integrator_mode="whfast", fast_float32=True,
                                whfast_kepler_iters=ITERS, **kw)
-            st, dy = build_batch(m[None], q[None], v[None], mask1[None],
-                                 cfg, 1.0, 0.0, 0.0, 0.01)
-            s1 = jax.tree_util.tree_map(lambda x: x[0], st)
-            d1 = jax.tree_util.tree_map(lambda x: x[0], dy)
+            if N + 1 <= 16384:
+                st, dy = build_batch(m[None], q[None], v[None],
+                                     mask1[None], cfg, 1.0, 0.0, 0.0, 0.01)
+                s1 = jax.tree_util.tree_map(lambda x: x[0], st)
+                d1 = jax.tree_util.tree_map(lambda x: x[0], dy)
+            else:
+                # build_batch's init calibration is O(N^2) dense (a
+                # (N, N) f32 buffer is 17 GB at N = 65537, over HBM) —
+                # construct the fixed-schedule state directly, the way
+                # the facade's large-N path does (_init_largen,
+                # facade/simulation.py:263-283)
+                from nbodysimproject_tpu.core.state import (DynParams,
+                                                            SimState)
+
+                z = jnp.float32(0.0)
+                zb = jnp.zeros((), jnp.float32)
+                s1 = SimState(mass=m, pos=q, vel=v, mask=mask1,
+                              eps=zb, pi=zb, s=zb, step_s2=zb,
+                              softening_energy_delta=zb, hist_count=zb,
+                              hist_sum=zb, hist_sumsq=zb)
+                d1 = DynParams(G=jnp.float32(1.0), s0=z,
+                               min_softening=z, max_softening=z,
+                               softening_scale=z, k_soft=z, mu_soft=z,
+                               chi_eps=z, k_wall=z, alpha_run=z,
+                               omega_spr0=z,
+                               h_sub_ref=jnp.float32(0.01),
+                               n_sub=jnp.int32(1),
+                               frozen_dt=jnp.float32(0.01))
 
             # kick acceleration at the ICs (for the error budget)
             acc = jax.jit(lambda: wh_interaction_accel(s1, d1, cfg))()
