@@ -16,6 +16,7 @@ so each group is a single compile.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from functools import partial
 
@@ -230,34 +231,43 @@ def _pack_result(r):
 def _analysis_multi(states, dyns, keys, dt, *, cfg, feat_cfg, n_steps,
                     mode, n_sub_max, megno_steps, engine, lanes, g_static,
                     with_features):
-    """A whole dispatch group in ONE program: ``lax.map`` of the
-    single-chunk analysis program over a leading (k, quantum, ...)
-    chunk axis.  The map body is the same (quantum,)-shaped computation
-    as a standalone chunk program for every k — scan bodies are traced
-    and fused with k-independent shapes — so per-lane rounding does not
-    depend on how many chunks the group holds (the dispatch-quantum
-    bitwise contract across shardings; asserted by
+    """A whole dispatch group in ONE program: the single-chunk analysis
+    program UNROLLED over a leading (k, quantum, ...) chunk axis.  Each
+    chunk is the same (quantum,)-shaped traced subgraph — per-lane
+    rounding does not depend on how many chunks the group holds (the
+    dispatch-quantum bitwise contract across shardings; asserted by
     tests/test_distributed.py and the multichip dryrun).  One launch
     per GROUP instead of one gather + one engine launch per CHUNK:
     at ~13-28 ms of fixed per-launch overhead through the axon tunnel,
     this is where the warm 16k wall clock went (round-4 measurement).
 
+    Round 4 wrapped the chunks in ``lax.map``; round 5 measured that
+    the XLA while-loop around the fused Mosaic kernel costs 2.0x the
+    chunk's device time even at k = 1 (1.772 s vs 0.899 s on the
+    B = 16384 mixture's n_sub = 256 tail chunk, and exactly 2x0.885 s
+    at k = 2 unrolled) — the loop serialises around the custom call
+    where straight-line copies pipeline.  Chunks are therefore inlined
+    (callers bound k with ``_STACK_MAX``, so traces stay small and the
+    set of distinct compiled (k, quantum) shapes per bucket stays
+    O(log _STACK_MAX)).
+
     Returns {col-names: (n_cols, k * quantum)} packed columns.
     """
-    def body(xs):
-        st, dy, ks = xs
-        r = _analysis_program(st, dy, ks, dt, cfg=cfg, feat_cfg=feat_cfg,
-                              n_steps=n_steps, mode=mode,
-                              n_sub_max=n_sub_max,
+    k = states.pos.shape[0]
+    outs = []
+    for i in range(k):
+        st = jax.tree_util.tree_map(lambda x: x[i], states)
+        dy = jax.tree_util.tree_map(lambda x: x[i], dyns)
+        r = _analysis_program(st, dy, keys[i], dt, cfg=cfg,
+                              feat_cfg=feat_cfg, n_steps=n_steps,
+                              mode=mode, n_sub_max=n_sub_max,
                               megno_steps=megno_steps, engine=engine,
                               lanes=lanes, g_static=g_static,
                               with_features=with_features)
-        return _pack_result(r)
-
-    out = jax.lax.map(body, (states, dyns, keys))
-    # (k, n_cols, q) -> (n_cols, k*q), chunk-major lanes
-    fold = lambda a: jnp.swapaxes(a, 0, 1).reshape(a.shape[1], -1)
-    return {nm: fold(a) for nm, a in out.items()}
+        outs.append(_pack_result(r))
+    # k x (n_cols, q) -> (n_cols, k*q), chunk-major lanes
+    return {nm: jnp.concatenate([o[nm] for o in outs], axis=1)
+            for nm in outs[0]}
 
 
 def _drain_packed(pending):
@@ -292,6 +302,13 @@ def _drain_packed(pending):
                 out[ci][c] = sp[i][sel]
     return out
 
+
+#: largest number of chunks inlined into one stacked analysis program
+#: (``_analysis_multi`` unrolls its chunk axis — see its docstring).
+#: Bounds trace/compile time per program; groups with more chunks
+#: split into several dispatches (launches are asynchronous, so the
+#: extra dispatches ride the device queue at ~ms each).
+_STACK_MAX = int(os.environ.get("NB_ANALYSIS_STACK_MAX", "8") or 8)
 
 #: host-scheduling-only knobs, pinned to fixed values on the cfg that
 #: becomes a jit static argument: they never reach device code, but as
@@ -638,7 +655,7 @@ def analyze_population(mass, pos, vel, mask, cfg, *, G=1.0, softening=0.05,
         out = []
         s = 0
         while s < len(plan):
-            k = 1 << ((len(plan) - s).bit_length() - 1)
+            k = min(1 << ((len(plan) - s).bit_length() - 1), _STACK_MAX)
             sub = plan[s:s + k]
             s += k
             pad2d = np.stack([p[0] for p in sub])
